@@ -1,0 +1,130 @@
+"""DSP parity tests against the reference's golden .lps files and vocoder."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu_se.dsp import (
+    frame_signal, hamming_window, lps_from_frames, num_frames, wav_to_lps,
+    reconstruct, segsnr, lsd, power_spectra,
+)
+from tpu_se.dsp.metrics import segsnr_lsd_pair
+from tpu_se.io import read_htk, read_wav
+
+GOLDENS = [
+    ("Feature_prepare/data/TEST_DR8_MPAM0_SX289.wav",
+     "Feature_prepare/data/TEST_DR8_MPAM0_SX289.lps"),
+    ("Feature_prepare/data/TEST_DR8_MPAM0_SX379.wav",
+     "Feature_prepare/data/TEST_DR8_MPAM0_SX379.lps"),
+]
+
+
+def test_hamming_window_matches_reference_form():
+    win = hamming_window()
+    assert win.shape == (512,)
+    assert win.dtype == np.float32
+    # Symmetric mirror of the float32 half-table (FEfunc.c:109-118).
+    np.testing.assert_array_equal(win[:256], win[256:][::-1])
+    assert abs(win[0] - 0.08) < 1e-6
+    assert win.max() <= 1.0
+
+
+def test_frame_count_formula():
+    assert num_frames(43264) == 168
+    assert num_frames(512) == 1
+    assert num_frames(511) == 0
+    assert num_frames(768) == 2
+    assert num_frames(767) == 1
+
+
+def test_frame_signal_layout():
+    wave = np.arange(1024, dtype=np.int16)
+    frames = frame_signal(wave)
+    assert frames.shape == (3, 512)
+    np.testing.assert_array_equal(frames[0], np.arange(512))
+    np.testing.assert_array_equal(frames[1], np.arange(256, 768))
+    np.testing.assert_array_equal(frames[2], np.arange(512, 1024))
+
+
+@pytest.mark.parametrize("wav_rel,lps_rel", GOLDENS)
+def test_lps_matches_golden(reference_dir, wav_rel, lps_rel):
+    wave, sr = read_wav(reference_dir / wav_rel)
+    assert sr == 16000
+    golden, hdr = read_htk(reference_dir / lps_rel)
+    ours = wav_to_lps(wave)
+    assert ours.shape == golden.shape
+    # The golden was produced by a float32 split-radix FFT; ours by a
+    # float64-basis GEMM.  Bins where the true power is far above the floor
+    # agree tightly; near-null bins are dominated by fp32 FFT roundoff in the
+    # *reference* and can differ more.
+    diff = np.abs(ours - golden)
+    assert np.median(diff) < 1e-4
+    assert np.quantile(diff, 0.999) < 0.05
+    assert diff.max() < 5.0  # worst case: log of roundoff-dominated null bins
+    loud = golden > 0.0
+    assert diff[loud].max() < 0.01
+
+
+def test_lps_methods_agree(reference_dir):
+    wave, _ = read_wav(reference_dir / GOLDENS[0][0])
+    frames = jnp.asarray(frame_signal(wave))
+    a = np.asarray(lps_from_frames(frames, method="matmul"))
+    b = np.asarray(lps_from_frames(frames, method="fft"))
+    assert np.abs(a - b).max() < 0.02
+    assert np.median(np.abs(a - b)) < 1e-4
+
+
+def test_reconstruct_roundtrip(reference_dir):
+    """Feeding a wav's own LPS back with its own phase must reproduce it.
+
+    This closes the analysis->synthesis loop: magnitude from the LPS,
+    phase from the same signal, OLA with the squared-window envelope.
+    """
+    wave, _ = read_wav(reference_dir / GOLDENS[0][0])
+    lps = wav_to_lps(wave)
+    out, recon_frames = reconstruct(lps, wave)
+    t = lps.shape[0]
+    assert out.shape == (t * 256 + 256,)
+    # Interior samples (skip first/last hop, which lack full overlap in the
+    # source framing) should match the original closely.
+    orig = wave[: len(out)].astype(np.float32)
+    err = out[256:-256].astype(np.float32) - orig[256:-256]
+    rel = np.sqrt(np.mean(err ** 2)) / np.sqrt(np.mean(orig ** 2))
+    assert rel < 0.01
+    # Per-frame de-windowed reconstruction matches the raw frames.
+    frames = frame_signal(wave)
+    frame_err = np.abs(recon_frames - frames)
+    # De-windowed edges are divided by tiny window values -> looser there.
+    assert np.median(frame_err) < 0.5
+
+
+def test_segsnr_perfect_and_noisy():
+    rng = np.random.default_rng(0)
+    clean = rng.normal(scale=1000, size=(20, 512)).astype(np.float32)
+    # identical -> clamped at +30, mismatched -> clamped at -20
+    assert segsnr(clean, clean + 1e-3) == pytest.approx(30.0)
+    assert segsnr(clean, -clean * 100) == pytest.approx(-20.0)
+    noisy = clean + rng.normal(scale=100, size=clean.shape).astype(np.float32)
+    val = segsnr(clean, noisy)
+    assert 15 < val < 25  # ~20 dB SNR by construction
+
+
+def test_lsd_zero_for_identical():
+    rng = np.random.default_rng(1)
+    p = np.exp(rng.normal(size=(30, 257))).astype(np.float32)
+    assert lsd(p, p) == pytest.approx(0.0, abs=1e-4)
+    assert lsd(p, p * 10.0) == pytest.approx(10.0, abs=1e-3)
+
+
+def test_decode_metrics_self_consistent(reference_dir):
+    """Enhanced == noisy LPS must give segsnr == segsnr_noisy-ish metrics."""
+    wave, _ = read_wav(reference_dir / GOLDENS[0][0])
+    lps = wav_to_lps(wave)
+    out, recon = reconstruct(lps, wave)
+    power = np.where(lps < -50.0, np.exp(-50.0), np.exp(lps))
+    m = segsnr_lsd_pair(wave, wave, recon, power)
+    # clean == noisy: both SNRs pinned at the +30 clamp
+    assert m["segsnr_noisy"] == pytest.approx(30.0)
+    assert m["segsnr"] > 29.0
+    assert m["lsd"] < 0.2
+    assert m["lsd_noisy"] == pytest.approx(0.0, abs=1e-4)

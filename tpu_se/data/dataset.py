@@ -1,0 +1,91 @@
+"""Paired noisy/clean pfile dataset -> normalized per-chunk training batches.
+
+The reference's host data engine (``Interface.cc:719-965``) per chunk:
+fseek+fread raw rows, byte-swap, Z-score normalize with the NOISY statistics
+(targets too: ``mean[j % fea_dim]``, ``Interface.cc:804-810``), 7-frame
+context-expand, scatter to a shuffled order.  Here the normalize is a
+vectorized numpy op and the splice/shuffle are index arrays consumed by a
+device-side gather in the training step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from tpu_se.data.chunks import ChunkPlan, plan_chunks
+from tpu_se.data.splice import splice_frames, window_starts_for_chunk
+from tpu_se.io.norm import read_norm
+from tpu_se.io.pfile import read_pfile
+
+
+@dataclass
+class Chunk:
+    """One traincache-sized chunk, ready for device upload.
+
+    ``noisy``/``clean`` are the chunk's normalized frames [F, 257]; a training
+    sample i is noisy frames [starts[i], starts[i]+context) spliced to 1799
+    dims with target clean frame ``starts[i] + targ_offset``.
+    """
+    noisy: np.ndarray      # float32 [F, D]
+    clean: np.ndarray      # float32 [F, D]
+    starts: np.ndarray     # int32 [N] window starts, relative to chunk
+    context: int
+    targ_offset: int
+
+    @property
+    def n_samples(self) -> int:
+        return len(self.starts)
+
+    def spliced_inputs(self) -> np.ndarray:
+        """Host-side materialized [N, context*D] (parity/CV path)."""
+        return splice_frames(self.noisy, self.starts, self.context)
+
+    def targets(self) -> np.ndarray:
+        return self.clean[self.starts + self.targ_offset]
+
+
+class PfilePairDataset:
+    """Noisy/clean pfile pair with reference chunking semantics."""
+
+    def __init__(self, noisy_pfile, clean_pfile, norm_file,
+                 sent_range: tuple[int, int], traincache: int = 102400,
+                 context: int = 7, targ_offset: int = 3):
+        self.noisy = read_pfile(noisy_pfile)
+        self.clean = read_pfile(clean_pfile)
+        if not np.array_equal(self.noisy.sent_ends, self.clean.sent_ends):
+            raise ValueError("noisy/clean pfile sentence tables differ "
+                             "(Interface.cc:560-580 consistency check)")
+        self.mean, self.inv_std = read_norm(norm_file, self.noisy.dim)
+        self.context = context
+        self.targ_offset = targ_offset
+        self.plan: ChunkPlan = plan_chunks(
+            self.noisy.sent_ends, sent_range, traincache, context)
+
+    @property
+    def n_chunks(self) -> int:
+        return self.plan.n_chunks
+
+    @property
+    def total_samples(self) -> int:
+        return self.plan.total_samples
+
+    @property
+    def dim(self) -> int:
+        return self.noisy.dim
+
+    def chunk(self, idx: int, rng: np.random.Generator | None = None) -> Chunk:
+        """Load chunk ``idx``; pass an rng for shuffled training order."""
+        lo = int(self.plan.frame_start[idx])
+        hi = int(self.plan.frame_end[idx])
+        noisy = (self.noisy.features[lo:hi] - self.mean) * self.inv_std
+        clean = (self.clean.features[lo:hi] - self.mean) * self.inv_std
+        starts = window_starts_for_chunk(self.plan, idx, rng) - lo
+        return Chunk(noisy.astype(np.float32), clean.astype(np.float32),
+                     starts.astype(np.int32), self.context, self.targ_offset)
+
+    def epoch_chunks(self, rng: np.random.Generator):
+        """Shuffled chunk order + shuffled samples (BPtrain.cc:86-100)."""
+        for idx in rng.permutation(self.n_chunks):
+            yield self.chunk(int(idx), rng)

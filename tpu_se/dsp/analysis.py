@@ -1,0 +1,124 @@
+"""LPS analysis front-end: waveform -> 257-dim log-power-spectrum frames.
+
+Reference semantics (``Feature_prepare/SourceCode_Wav2LogSpec_be``):
+
+- 16 kHz only config used by the pipeline: frame length 512, shift 256,
+  FFT 512 (``Wav2LogSpec_be.c:43,49,59``).
+- Frame k covers samples [k*256, k*256+512); the number of emitted frames is
+  ``floor(N/256) - 1`` — the circular-buffer loop preloads 256 samples and
+  emits one frame per full 256-sample read (``Wav2LogSpec_be.c:401-416``).
+- Hamming window ``w[i] = 0.54 - 0.46*cos(2*pi*i/(len-1))`` stored as a
+  float32 half-table and applied symmetrically (``FEfunc.c:80-87,109-118``),
+  so w[len-1-i] == w[i] exactly.
+- Power spectrum bins 0..256 from a real FFT (``Wav2LogSpec_be.c:469-472``),
+  then natural log with floor: power < e^-50 -> -50
+  (``Wav2LogSpec_be.c:54,475-479``).
+
+TPU-first design: instead of translating the split-radix FFT
+(``FEfunc.c:146-293``), the whole window+FFT+power pipeline is one batched
+matmul against a precomputed *windowed DFT basis* [512, 514] — all frames go
+through the MXU in a single GEMM, and XLA fuses the square/add/log epilogue.
+A jnp.fft path is kept as a cross-check (identical math, different schedule).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FRAME_LENGTH = 512
+FRAME_SHIFT = 256
+FFT_LENGTH = 512
+NUM_BINS = FFT_LENGTH // 2 + 1  # 257
+LOG_FLOOR = -50.0
+
+
+@functools.lru_cache(maxsize=None)
+def hamming_window(length: int = FRAME_LENGTH) -> np.ndarray:
+    """Symmetric float32 Hamming window, exactly as the reference builds it.
+
+    The reference computes a float32 half-table in double precision and
+    mirrors it (``FEfunc.c:80-87``); we do the same so both halves are
+    bit-identical to the C tables.
+    """
+    half = np.array(
+        [0.54 - 0.46 * np.cos(2.0 * np.pi * i / (length - 1))
+         for i in range(length // 2)],
+        dtype=np.float32,
+    )
+    return np.concatenate([half, half[::-1]])
+
+
+@functools.lru_cache(maxsize=None)
+def _windowed_dft_basis(frame_length: int = FRAME_LENGTH,
+                        fft_length: int = FFT_LENGTH) -> np.ndarray:
+    """[frame_length, 2*NUM_BINS] basis: window folded into the real DFT.
+
+    Column k      (k < NUM_BINS): w[n] *  cos(2*pi*n*k/N)
+    Column 257+k  (k < NUM_BINS): w[n] * -sin(2*pi*n*k/N)
+
+    ``(x * w) @ [C | S]`` == rfft(x * w) split into (Re, Im) — one GEMM on
+    the MXU instead of a per-frame scalar FFT.
+    """
+    n = np.arange(frame_length)[:, None].astype(np.float64)
+    k = np.arange(fft_length // 2 + 1)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * n * k / fft_length
+    w = hamming_window(frame_length).astype(np.float64)[:, None]
+    basis = np.concatenate([w * np.cos(ang), w * -np.sin(ang)], axis=1)
+    return basis.astype(np.float32)
+
+
+def num_frames(n_samples: int) -> int:
+    """Frames emitted by the reference front-end for an n-sample waveform."""
+    return max(0, n_samples // FRAME_SHIFT - 1)
+
+
+def frame_signal(wave: np.ndarray) -> np.ndarray:
+    """int16/float waveform [N] -> float32 frames [T, 512] (zero-copy view)."""
+    wave = np.asarray(wave)
+    t = num_frames(len(wave))
+    if t == 0:
+        return np.zeros((0, FRAME_LENGTH), dtype=np.float32)
+    strided = np.lib.stride_tricks.sliding_window_view(
+        wave[: (t - 1) * FRAME_SHIFT + FRAME_LENGTH], FRAME_LENGTH
+    )[::FRAME_SHIFT]
+    return strided.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("method",))
+def lps_from_frames(frames: jax.Array, method: str = "matmul") -> jax.Array:
+    """float32 frames [T, 512] -> log-power spectrum [T, 257].
+
+    ``method='matmul'`` (default): windowed-DFT GEMM on the MXU.
+    ``method='fft'``: jnp.fft.rfft — identical math, used as a cross-check.
+    """
+    frames = frames.astype(jnp.float32)
+    if method == "matmul":
+        basis = jnp.asarray(_windowed_dft_basis())
+        spec = jnp.dot(frames, basis, preferred_element_type=jnp.float32)
+        re, im = spec[:, :NUM_BINS], spec[:, NUM_BINS:]
+        power = re * re + im * im
+    elif method == "fft":
+        win = jnp.asarray(hamming_window())
+        spec = jnp.fft.rfft(frames * win[None, :], n=FFT_LENGTH, axis=-1)
+        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    floor = jnp.float32(np.exp(LOG_FLOOR))
+    return jnp.where(power < floor, jnp.float32(LOG_FLOOR), jnp.log(power))
+
+
+def wav_to_lps(wave: np.ndarray, method: str = "matmul") -> np.ndarray:
+    """Waveform (int16 samples) -> float32 LPS [T, 257].
+
+    End-to-end equivalent of the ``Wav2LPS_be -F RAW -fs 16`` CLI
+    (``Wav2LogSpec_be.c:280-618``) for the WinSize=0 configuration used
+    throughout the reference pipeline.
+    """
+    frames = frame_signal(wave)
+    if frames.shape[0] == 0:
+        return np.zeros((0, NUM_BINS), dtype=np.float32)
+    return np.asarray(lps_from_frames(jnp.asarray(frames), method=method))

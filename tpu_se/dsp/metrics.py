@@ -1,0 +1,88 @@
+"""Objective quality metrics: segmental SNR and log-spectral distortion.
+
+Exact re-implementations of the decode-time metrics in
+``Test_code/SourceCode_LogSpec2Wav_be/LogSpec2Wav.c``:
+
+- SegSNR (``:595-610,700-710``): per frame over the analysis framing,
+  ``10*log10(sum(clean^2) / sum((x - clean)^2))`` clamped to [-20, 30] dB,
+  averaged over frames.  The enhanced signal is evaluated per-frame on the
+  de-windowed inverse-FFT output, NOT the final OLA waveform.
+- LSD (``:734-795``): power spectra of Hamming-windowed frames; each
+  utterance's spectrogram is floored at its global max * 10^(-50/10)
+  (50 dB dynamic range); per frame RMS over the 257 bins of
+  ``10*log10(P_x / P_clean)``, averaged over frames.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_se.dsp.analysis import (
+    FFT_LENGTH, NUM_BINS, frame_signal, hamming_window,
+)
+
+LOW_SEGSNR = -20.0
+HIGH_SEGSNR = 30.0
+DYN_RANGE_DB = 50.0
+
+
+def segsnr(clean_frames: np.ndarray, test_frames: np.ndarray) -> float:
+    """Mean clamped per-frame SNR; inputs are raw (un-windowed) [T,512]."""
+    clean = jnp.asarray(clean_frames, dtype=jnp.float32)
+    test = jnp.asarray(test_frames, dtype=jnp.float32)
+    sig = jnp.sum(clean * clean, axis=1)
+    err = jnp.sum((test - clean) ** 2, axis=1)
+    snr = 10.0 * jnp.log10(sig / err)
+    snr = jnp.clip(snr, LOW_SEGSNR, HIGH_SEGSNR)
+    return float(jnp.mean(snr))
+
+
+@jax.jit
+def power_spectra(frames: jax.Array) -> jax.Array:
+    """Raw frames [T,512] -> Hamming-windowed power spectra [T,257]."""
+    win = jnp.asarray(hamming_window())
+    spec = jnp.fft.rfft(frames.astype(jnp.float32) * win[None, :],
+                        n=FFT_LENGTH, axis=-1)
+    return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+
+
+def lsd(clean_power: np.ndarray, test_power: np.ndarray) -> float:
+    """Mean per-frame log-spectral distortion with 50 dB dynamic-range floor.
+
+    Both spectrograms are [T,257] linear power; each is floored independently
+    at its own global max * 10^-5 (``LogSpec2Wav.c:757-788``).
+    """
+    def _floor(p):
+        p = jnp.asarray(p, dtype=jnp.float32)
+        return jnp.maximum(p, jnp.max(p) * 10.0 ** (-DYN_RANGE_DB / 10.0))
+
+    pc, px = _floor(clean_power), _floor(test_power)
+    diff = 10.0 * jnp.log10(px / pc)
+    per_frame = jnp.sqrt(jnp.mean(diff * diff, axis=1))
+    return float(jnp.mean(per_frame))
+
+
+def segsnr_lsd_pair(clean_wave: np.ndarray, noisy_wave: np.ndarray,
+                    recon_frames: np.ndarray, enhanced_power: np.ndarray
+                    ) -> dict:
+    """All four decode metrics for one utterance, as ``info.txt`` reports them.
+
+    ``recon_frames`` is the de-windowed per-frame reconstruction from
+    ``tpu_se.dsp.synthesis.reconstruct``; ``enhanced_power`` the exp'd
+    (floored) enhanced LPS [T,257] (``LogSpec2Wav.c:565-571``, the
+    ``denoise_spec_vectors`` are the exp'd features, not a re-analysis).
+    """
+    clean_frames = frame_signal(clean_wave)
+    noisy_frames = frame_signal(noisy_wave)
+    t = min(len(clean_frames), len(noisy_frames), len(recon_frames))
+    clean_frames, noisy_frames = clean_frames[:t], noisy_frames[:t]
+    p_clean = np.asarray(power_spectra(jnp.asarray(clean_frames)))
+    p_noisy = np.asarray(power_spectra(jnp.asarray(noisy_frames)))
+    return {
+        "segsnr": segsnr(clean_frames, recon_frames[:t]),
+        "segsnr_noisy": segsnr(clean_frames, noisy_frames),
+        "lsd": lsd(p_clean, enhanced_power[:t]),
+        "lsd_noisy": lsd(p_clean, p_noisy),
+    }

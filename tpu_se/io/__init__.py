@@ -1,0 +1,20 @@
+"""File codecs for the reference pipeline's on-disk formats.
+
+Every cross-layer boundary in the reference is a big-endian binary file
+(SURVEY.md §2.3).  These codecs are byte-compatible with the reference
+artifacts so models/features/checkpoints interchange both ways.
+"""
+
+from tpu_se.io.wav import read_wav, write_wav, read_raw, write_raw
+from tpu_se.io.htk import read_htk, write_htk, HTKHeader
+from tpu_se.io.pfile import read_pfile, write_pfile, PFile, read_pfile_header
+from tpu_se.io.norm import read_norm, write_norm
+from tpu_se.io.wts import read_wts, write_wts
+
+__all__ = [
+    "read_wav", "write_wav", "read_raw", "write_raw",
+    "read_htk", "write_htk", "HTKHeader",
+    "read_pfile", "write_pfile", "PFile", "read_pfile_header",
+    "read_norm", "write_norm",
+    "read_wts", "write_wts",
+]

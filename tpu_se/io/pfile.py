@@ -1,0 +1,135 @@
+"""QuickNet "pfile" codec, byte-compatible with the reference artifacts.
+
+Layout (verified against the bundled ``tools_pfile/train_noisy.pfile`` and the
+reference reader ``Train_code_ML_GGD/Interface.cc:519-585,988-1024``):
+
+    bytes [0, 32768):  ASCII header, NUL-padded, key lines like
+                       ``-num_sentences 10``, ``-num_frames 1885``,
+                       ``-format dd f*D``, ``-data size ... nrow R ncol C``
+    data rows:         R rows of C=2+D big-endian 32-bit words:
+                       int32 sentence_id, int32 frame_id, D float32 features
+    sentence table:    (nsents+1) big-endian int32 at byte offset
+                       32768 + R*C*4: [0, cum_1, cum_2, ..., num_frames]
+                       (cumulative end-frame index per sentence)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+PFILE_HEADER_SIZE = 32768
+
+
+@dataclass
+class PFile:
+    """In-memory pfile: features plus sentence segmentation."""
+
+    features: np.ndarray      # float32 [num_frames, dim]
+    sent_ids: np.ndarray      # int32 [num_frames]
+    frame_ids: np.ndarray     # int32 [num_frames]
+    sent_ends: np.ndarray     # int32 [num_sentences] cumulative end-frame index
+
+    @property
+    def num_frames(self) -> int:
+        return self.features.shape[0]
+
+    @property
+    def num_sentences(self) -> int:
+        return len(self.sent_ends)
+
+    @property
+    def dim(self) -> int:
+        return self.features.shape[1]
+
+    def sent_lengths(self) -> np.ndarray:
+        return np.diff(np.concatenate([[0], self.sent_ends])).astype(np.int32)
+
+    def sentence(self, i: int) -> np.ndarray:
+        start = 0 if i == 0 else int(self.sent_ends[i - 1])
+        return self.features[start:int(self.sent_ends[i])]
+
+
+def read_pfile_header(path) -> dict:
+    """Parse the 32 KB ASCII header into a dict of the '-key value...' lines."""
+    with open(path, "rb") as f:
+        hdr = f.read(PFILE_HEADER_SIZE)
+    hdr = hdr.split(b"\0", 1)[0].decode("ascii", errors="replace")
+    out = {}
+    for line in hdr.splitlines():
+        line = line.strip()
+        if not line.startswith("-"):
+            continue
+        parts = line[1:].split(None, 1)
+        if parts:
+            out[parts[0]] = parts[1] if len(parts) > 1 else ""
+    return out
+
+
+def read_pfile(path) -> PFile:
+    hdr = read_pfile_header(path)
+    num_sents = int(hdr["num_sentences"].split()[0])
+    num_frames = int(hdr["num_frames"].split()[0])
+    num_features = int(hdr["num_features"].split()[0])
+    ncol = 2 + num_features
+
+    with open(path, "rb") as f:
+        f.seek(PFILE_HEADER_SIZE)
+        rows = np.frombuffer(f.read(num_frames * ncol * 4), dtype=">i4")
+        rows = rows.reshape(num_frames, ncol)
+        # Sentence table: one leading 0 word, then cumulative ends.
+        f.seek(PFILE_HEADER_SIZE + num_frames * ncol * 4 + 4)
+        sent_ends = np.frombuffer(f.read(num_sents * 4), dtype=">i4").astype(np.int32)
+
+    sent_ids = rows[:, 0].astype(np.int32)
+    frame_ids = rows[:, 1].astype(np.int32)
+    features = rows[:, 2:].view(">f4").astype(np.float32)
+    return PFile(features, sent_ids, frame_ids, sent_ends)
+
+
+def write_pfile(path, utterances: list[np.ndarray]) -> None:
+    """Write a list of [T_i, D] float32 arrays as a reference-layout pfile."""
+    if not utterances:
+        raise ValueError("no utterances")
+    dim = utterances[0].shape[1]
+    num_frames = sum(u.shape[0] for u in utterances)
+    num_sents = len(utterances)
+    ncol = 2 + dim
+
+    header_lines = [
+        f"-pfile_header version 0 size {PFILE_HEADER_SIZE}",
+        f"-num_sentences {num_sents}",
+        f"-num_frames {num_frames}",
+        "-first_feature_column 2",
+        f"-num_features {dim}",
+        f"-first_label_column {2 + dim}",
+        "-num_labels 0",
+        "-format dd" + "f" * dim,
+        f"-data size {num_frames * ncol} offset 0 ndim 2 nrow {num_frames} ncol {ncol}",
+        f"-sent_table_data size {num_sents + 1} offset {num_frames * ncol} ndim 1",
+        "-end",
+    ]
+    header = ("\n".join(header_lines) + "\n").encode("ascii")
+    if len(header) > PFILE_HEADER_SIZE:
+        raise ValueError("pfile header overflow")
+    header = header.ljust(PFILE_HEADER_SIZE, b"\0")
+
+    with open(path, "wb") as f:
+        f.write(header)
+        cum = 0
+        ends = []
+        for sent_id, utt in enumerate(utterances):
+            utt = np.asarray(utt, dtype=np.float32)
+            if utt.shape[1] != dim:
+                raise ValueError("inconsistent feature dims across utterances")
+            t = utt.shape[0]
+            rows = np.empty((t, ncol), dtype=">i4")
+            rows[:, 0] = sent_id
+            rows[:, 1] = np.arange(t, dtype=np.int32)
+            rows[:, 2:] = utt.astype(">f4").view(">i4")
+            f.write(rows.tobytes())
+            cum += t
+            ends.append(cum)
+        table = np.concatenate([[0], ends]).astype(">i4")
+        f.write(table.tobytes())
