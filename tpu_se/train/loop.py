@@ -1,0 +1,207 @@
+"""Training driver: the ``finetune.pl`` + ``BPtrain.cc`` equivalent.
+
+Epoch protocol (``finetune.pl:10-155``, ``BPtrain.cc:55-146``):
+
+- 50 epochs; epoch N trains from epoch N-1's weights.
+- lr constant for epochs 1..10, then *= 0.9 per epoch (``finetune.pl:118-123``).
+- per-epoch RNG seed = init_seed + 345*(epoch-1) (``finetune.pl:86,124``).
+- resume-by-existence: an epoch whose output .wts exists is skipped
+  (``finetune.pl:49,88,126``).
+- momentum velocity resets at each epoch boundary (each reference epoch is
+  a fresh process with zeroed delta buffers, ``BP_GPU.cu:60-78``); set
+  ``carry_velocity=True`` for the corrected behavior.
+- per-epoch CV metrics: squared error, abs error, GGD log-likelihood
+  (``BPtrain.cc:112-139``).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_se.data import PfilePairDataset, PrefetchIterator
+from tpu_se.data.chunks import sentence_windows
+from tpu_se.losses import ref_gamma
+from tpu_se.models import DEFAULT_LAYERSIZES, init_params, params_from_wts
+from tpu_se.io.wts import read_wts
+from tpu_se.train.checkpoint import load_checkpoint, save_checkpoint
+from tpu_se.train.step import (
+    TrainHyper, TrainState, cv_forward, make_train_state, train_chunk,
+)
+
+FRAME_PAD_BUCKET = 4096
+
+
+@dataclass
+class TrainConfig:
+    """All reference config keys (``Interface.cc:150-315`` key=value set),
+    plus the new framework's knobs."""
+
+    fea_file: str = ""
+    targ_file: str = ""
+    norm_file: str = ""
+    init_wts_file: str = ""          # empty -> random init
+    out_dir: str = "mlp_out"
+    layersizes: tuple = DEFAULT_LAYERSIZES
+    bunchsize: int = 128
+    ml_flag: bool = True
+    shapefactor: float = 1.0
+    momentum: float = 0.9
+    weightcost: float = 1e-5
+    lrate: float = 0.1
+    fea_dim: int = 257
+    fea_context: int = 7
+    traincache: int = 102400
+    init_seed: int = 27870775
+    targ_offset: int = 3
+    train_sent_range: tuple = (0, 7)
+    cv_sent_range: tuple = (8, 9)
+    epochs: int = 50
+    lr_const_epochs: int = 10
+    lr_decay: float = 0.9
+    seed_increment: int = 345
+    grad_scale: str = "parity"
+    compute_dtype: str = "float32"   # or "bfloat16"
+    carry_velocity: bool = False
+    mesh: object = None              # optional jax.sharding.Mesh
+
+    def hyper(self) -> TrainHyper:
+        return TrainHyper(
+            beta=self.shapefactor, ml=self.ml_flag, momentum=self.momentum,
+            weightcost=self.weightcost, bunchsize=self.bunchsize,
+            context=self.fea_context, targ_offset=self.targ_offset,
+            grad_scale=self.grad_scale,
+            compute_dtype=jnp.bfloat16 if self.compute_dtype == "bfloat16"
+            else jnp.float32,
+        )
+
+    def lr_for_epoch(self, epoch: int) -> float:
+        decay_steps = max(0, epoch - self.lr_const_epochs)
+        return self.lrate * (self.lr_decay ** decay_steps)
+
+    def seed_for_epoch(self, epoch: int) -> int:
+        return self.init_seed + self.seed_increment * (epoch - 1)
+
+
+def _pad_rows(arr: np.ndarray, bucket: int = FRAME_PAD_BUCKET) -> np.ndarray:
+    """Zero-pad the frame axis to a bucket multiple (bounds recompiles)."""
+    f = arr.shape[0]
+    target = -(-f // bucket) * bucket
+    if target == f:
+        return arr
+    return np.concatenate(
+        [arr, np.zeros((target - f, arr.shape[1]), dtype=arr.dtype)])
+
+
+def train_one_epoch(state: TrainState, dataset: PfilePairDataset,
+                    hyper: TrainHyper, lr: float,
+                    rng: np.random.Generator, mesh=None,
+                    log=print) -> TrainState:
+    lr_arr = jnp.float32(lr)
+    n_chunks = dataset.n_chunks
+    for i, chunk in enumerate(PrefetchIterator(dataset.epoch_chunks(rng))):
+        m = hyper.bunchsize
+        n_bunches = chunk.n_samples // m
+        if n_bunches == 0:
+            continue
+        starts = chunk.starts[: n_bunches * m].reshape(n_bunches, m)
+        noisy = _pad_rows(chunk.noisy)
+        clean = _pad_rows(chunk.clean)
+        if mesh is not None:
+            from tpu_se.parallel import shard_train_args
+            noisy, clean, starts = shard_train_args(mesh, noisy, clean, starts)
+        state = train_chunk(state, jnp.asarray(noisy), jnp.asarray(clean),
+                            jnp.asarray(starts), lr_arr, hyper)
+        log(f"  chunk {i+1}/{n_chunks}: {n_bunches} bunches")
+    return state
+
+
+def evaluate_cv(state: TrainState, cv_dataset: PfilePairDataset,
+                hyper: TrainHyper) -> dict:
+    """CV metrics over a dataset (sequential order, partial bunches kept —
+    ``Interface.cc:841-965`` + ``BP_GPU.cu:187-306``)."""
+    out_dim = cv_dataset.dim
+    alpha = np.asarray(state.alpha, dtype=np.float64)
+    sq = ab = sum_pow = 0.0
+    n_total = 0
+    for ci in range(cv_dataset.n_chunks):
+        chunk = cv_dataset.chunk(ci)           # no rng -> sequential
+        noisy = jnp.asarray(_pad_rows(chunk.noisy))
+        clean_np = chunk.clean
+        for lo in range(0, chunk.n_samples, 4096):
+            s = chunk.starts[lo:lo + 4096]
+            out = np.asarray(cv_forward(state.params, noisy, jnp.asarray(s),
+                                        hyper.context, hyper.compute_dtype),
+                             dtype=np.float64)
+            targ = clean_np[s + hyper.targ_offset].astype(np.float64)
+            err = out - targ
+            sq += float((err ** 2).sum())
+            ab += float(np.abs(err).sum())
+            sum_pow += float(((np.abs(err) / alpha) ** hyper.beta).sum())
+            n_total += len(s)
+    gamma_val = ref_gamma(1.0 / hyper.beta)
+    loglik = (n_total * out_dim * math.log(hyper.beta / (2.0 * gamma_val))
+              - n_total * float(np.log(alpha).sum()) - sum_pow)
+    return {"cv_squared_error": sq, "cv_abs_error": ab / out_dim,
+            "cv_ggd_loglik": loglik, "cv_frames": n_total}
+
+
+def run_training(cfg: TrainConfig, log=print) -> str:
+    """Run the full multi-epoch schedule; returns the final .wts path."""
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    hyper = cfg.hyper()
+
+    dataset = PfilePairDataset(
+        cfg.fea_file, cfg.targ_file, cfg.norm_file, cfg.train_sent_range,
+        cfg.traincache, cfg.fea_context, cfg.targ_offset)
+    cv_dataset = PfilePairDataset(
+        cfg.fea_file, cfg.targ_file, cfg.norm_file, cfg.cv_sent_range,
+        cfg.traincache, cfg.fea_context, cfg.targ_offset)
+
+    last_path = ""
+    for epoch in range(1, cfg.epochs + 1):
+        out_path = os.path.join(cfg.out_dir, f"mlp.{epoch}.wts")
+        log_path = os.path.join(cfg.out_dir, f"mlp.{epoch}.log")
+        if os.path.exists(out_path):
+            log(f"epoch {epoch}: {out_path} exists, skipping (resume)")
+            last_path = out_path
+            continue
+
+        if epoch == 1:
+            if cfg.init_wts_file:
+                state = load_checkpoint(cfg.init_wts_file)
+            else:
+                params = init_params(cfg.seed_for_epoch(1), cfg.layersizes)
+                state = make_train_state(params, cfg.layersizes[-1])
+        else:
+            state = load_checkpoint(last_path)
+            if not cfg.carry_velocity:
+                state = make_train_state(state.params, cfg.layersizes[-1])
+
+        lr = cfg.lr_for_epoch(epoch)
+        rng = np.random.default_rng(cfg.seed_for_epoch(epoch))
+        lines = [f"epoch {epoch} lr={lr:.6g} seed={cfg.seed_for_epoch(epoch)}",
+                 f"config: {cfg}"]
+        t0 = time.time()
+        state = train_one_epoch(state, dataset, hyper, lr, rng,
+                                mesh=cfg.mesh, log=lambda s: lines.append(s))
+        metrics = evaluate_cv(state, cv_dataset, hyper)
+        dt = time.time() - t0
+        save_checkpoint(out_path, state)
+        lines.append(
+            f"CV squared error: {metrics['cv_squared_error']:.6f}  "
+            f"abs error: {metrics['cv_abs_error']:.6f}  "
+            f"GGD loglik: {metrics['cv_ggd_loglik']:.6f}")
+        lines.append(f"Total cost time: {dt:.1f} s")
+        with open(log_path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        log(f"epoch {epoch}: sq={metrics['cv_squared_error']:.1f} "
+            f"abs={metrics['cv_abs_error']:.1f} "
+            f"ll={metrics['cv_ggd_loglik']:.1f} ({dt:.1f}s)")
+        last_path = out_path
+    return last_path
