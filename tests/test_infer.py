@@ -1,0 +1,131 @@
+"""Decode-path tests: end-to-end enhancement and CLI plumbing."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tpu_se.io import read_htk, read_norm, read_wav, write_wts
+from tpu_se.io.norm import write_norm
+from tpu_se.models import init_params, params_to_wts
+
+NOISY_DEMO = "Enh_demos/F-16Cockpit_SNR10_NOISY_TEST_DR1_MWBT0_SX23.wav"
+CLEAN_DEMO = "Enh_demos/F-16Cockpit_SNR10_CLEAN_TEST_DR1_MWBT0_SX23.WAV"
+
+
+@pytest.fixture(scope="module")
+def identity_model(tmp_path_factory, reference_dir):
+    """A model + norm whose decode output approximates the input LPS.
+
+    Built by zeroing hidden weights: each sigmoid layer outputs 0.5, so with
+    a zero output layer the prediction is the bias.  Instead we use the real
+    random model — the decode path tests below only need plumbing, and the
+    self-consistency test uses the noisy LPS directly.
+    """
+    d = tmp_path_factory.mktemp("model")
+    params = init_params(7, (1799, 64, 64, 257))
+    wts = str(d / "m.wts")
+    write_wts(wts, params_to_wts(params))
+    mean, inv_std = read_norm(reference_dir / "tools_pfile/train_noisy.norm",
+                              257)
+    norm = str(d / "m.norm")
+    write_norm(norm, mean, inv_std)
+    return wts, norm
+
+
+def test_enhancer_shapes_and_output(reference_dir, identity_model):
+    from tpu_se.infer import Enhancer
+
+    wts, norm = identity_model
+    noisy, sr = read_wav(reference_dir / NOISY_DEMO)
+    enh = Enhancer(wts, norm)
+    wave, recon, enh_lps = enh.enhance(noisy)
+    t = len(noisy) // 256 - 1
+    assert enh_lps.shape == (t, 257)
+    assert recon.shape == (t, 512)
+    assert wave.shape == (t * 256 + 256,)
+    assert wave.dtype == np.int16
+    assert np.isfinite(enh_lps).all()
+
+
+def test_decode_files_with_metrics(reference_dir, identity_model, tmp_path):
+    from tpu_se.infer import decode_files
+
+    wts, norm = identity_model
+    results = decode_files(
+        wts, norm,
+        [reference_dir / NOISY_DEMO], str(tmp_path / "out"),
+        clean_paths=[reference_dir / CLEAN_DEMO], log=lambda s: None)
+    r = results[0]
+    assert os.path.exists(r["out"])
+    # The random model can't beat the noisy baseline, but all four metrics
+    # must be finite and within the metric clamps.
+    for key in ("segsnr", "segsnr_noisy", "lsd", "lsd_noisy"):
+        assert np.isfinite(r[key])
+    assert -20.0 <= r["segsnr"] <= 30.0
+    info = open(os.path.join(tmp_path / "out",
+                             os.path.basename(str(reference_dir / NOISY_DEMO))
+                             .replace(".wav", "") + ".info.txt")).read()
+    assert "Segmental SNR" in info
+
+
+def test_demo_pairs_have_consistent_framing(reference_dir):
+    """All 4 variants of a demo condition decode to the same frame count."""
+    base = "F-16Cockpit_SNR10_%s_TEST_DR1_MWBT0_SX23"
+    lens = {}
+    for kind, ext in [("CLEAN", ".WAV"), ("NOISY", ".wav"),
+                      ("MMSE", ".wav"), ("ML", ".wav")]:
+        wave, _ = read_wav(reference_dir / "Enh_demos" / ((base % kind) + ext))
+        lens[kind] = len(wave)
+    # Enhanced demos were produced by the reference OLA: T*256 + 256 samples.
+    t = lens["NOISY"] // 256 - 1
+    assert lens["MMSE"] == t * 256 + 256
+    assert lens["ML"] == t * 256 + 256
+
+
+CLI_ENV = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+
+
+def _cli(*args, cwd=None):
+    return subprocess.run([sys.executable, "-m", "tpu_se", *args],
+                          capture_output=True, text=True, env=CLI_ENV,
+                          cwd=cwd or os.path.dirname(os.path.dirname(__file__)),
+                          timeout=300)
+
+
+def test_cli_feature_pipeline(reference_dir, tmp_path):
+    """lps-extract -> make-pfile -> get-norm reproduces the reference stats."""
+    wav = str(reference_dir / "Feature_prepare/data/TEST_DR8_MPAM0_SX289.wav")
+    lps_out = str(tmp_path / "a.lps")
+    r = _cli("lps-extract", wav, "-o", lps_out)
+    assert r.returncode == 0, r.stderr
+    ours, hdr = read_htk(lps_out)
+    golden, _ = read_htk(
+        reference_dir / "Feature_prepare/data/TEST_DR8_MPAM0_SX289.lps")
+    assert ours.shape == golden.shape
+    assert np.median(np.abs(ours - golden)) < 1e-4
+
+    scp = tmp_path / "lps.scp"
+    scp.write_text(lps_out + "\n")
+    pfile_out = str(tmp_path / "a.pfile")
+    r = _cli("make-pfile", str(scp), "-o", pfile_out,
+             "--lenfile", str(tmp_path / "lens.len"))
+    assert r.returncode == 0, r.stderr
+    assert open(tmp_path / "lens.len").read().strip() == str(ours.shape[0])
+
+    norm_out = str(tmp_path / "a.norm")
+    r = _cli("get-norm", pfile_out, "-o", norm_out)
+    assert r.returncode == 0, r.stderr
+    mean, inv = read_norm(norm_out, 257)
+    np.testing.assert_allclose(mean, ours.mean(axis=0), atol=1e-3)
+
+
+def test_cli_gen_rand_net(tmp_path):
+    out = str(tmp_path / "r.wts")
+    r = _cli("gen-rand-net", "--layersizes", "21,16,9", "-o", out)
+    assert r.returncode == 0, r.stderr
+    from tpu_se.io import read_wts
+    layers = read_wts(out)
+    assert layers[0]["w"].shape == (21, 16)

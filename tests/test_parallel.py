@@ -1,0 +1,104 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_se.models import forward, init_params
+from tpu_se.parallel import (
+    make_mesh, param_shardings, shard_train_args,
+)
+from tpu_se.train import TrainHyper, make_train_state, train_chunk
+
+
+@pytest.fixture(scope="module")
+def devices8():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("need 8 virtual devices")
+    return devs
+
+
+def _problem(seed=0, dim=8, ctx=3, m=16, n_bunches=4, n_frames=128):
+    rng = np.random.default_rng(seed)
+    noisy = rng.normal(size=(n_frames, dim)).astype(np.float32)
+    clean = rng.normal(size=(n_frames, dim)).astype(np.float32)
+    starts = rng.integers(0, n_frames - ctx,
+                          size=(n_bunches, m)).astype(np.int32)
+    layersizes = (dim * ctx, 16, 16, dim)
+    params = init_params(seed + 1, layersizes)
+    return noisy, clean, starts, params, layersizes
+
+
+def _run(state, noisy, clean, starts, hyper, mesh=None):
+    if mesh is not None:
+        noisy, clean, starts = shard_train_args(mesh, noisy, clean, starts)
+    return train_chunk(state, jnp.asarray(noisy), jnp.asarray(clean),
+                       jnp.asarray(starts), jnp.float32(0.05), hyper)
+
+
+@pytest.mark.parametrize("ml", [False, True])
+def test_dp_sharded_matches_single_device(devices8, ml):
+    """8-way DP must give the same result as 1 device: the gradient sums and
+    the GGD alpha statistic are GLOBAL-batch reductions."""
+    noisy, clean, starts, params, layersizes = _problem()
+    hyper = TrainHyper(beta=1.0, ml=ml, bunchsize=16, context=3,
+                       targ_offset=1)
+
+    snap = [{k: np.asarray(v).copy() for k, v in l.items()} for l in params]
+    single = _run(make_train_state(params, layersizes[-1]),
+                  noisy, clean, starts, hyper)
+
+    mesh = make_mesh(8, 1)
+    params2 = [{"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])}
+               for l in snap]
+    sharded = _run(make_train_state(params2, layersizes[-1]),
+                   noisy, clean, starts, hyper, mesh=mesh)
+
+    for ls, lm in zip(single.params, sharded.params):
+        np.testing.assert_allclose(np.asarray(lm["w"]), np.asarray(ls["w"]),
+                                   rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sharded.alpha),
+                               np.asarray(single.alpha), rtol=1e-4)
+
+
+def test_tp_mesh_forward_matches(devices8):
+    """4x2 mesh with tensor-parallel hidden weights: same numerics."""
+    mesh = make_mesh(4, 2)
+    layersizes = (24, 16, 16, 8)
+    params = init_params(0, layersizes)
+    x = np.random.default_rng(1).normal(size=(8, 24)).astype(np.float32)
+    want = np.asarray(forward(params, jnp.asarray(x)))
+
+    specs = param_shardings(mesh, len(params))
+    params_tp = [{"w": jax.device_put(l["w"], s["w"]),
+                  "b": jax.device_put(l["b"], s["b"])}
+                 for l, s in zip(params, specs)]
+    got = np.asarray(jax.jit(forward)(params_tp, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_dp_tp_train_step(devices8):
+    """Full train step on a 4x2 (dp x tp) mesh runs and stays finite."""
+    noisy, clean, starts, params, layersizes = _problem()
+    mesh = make_mesh(4, 2)
+    hyper = TrainHyper(beta=1.0, ml=True, bunchsize=16, context=3,
+                       targ_offset=1)
+    specs = param_shardings(mesh, len(params))
+    params = [{"w": jax.device_put(l["w"], s["w"]),
+               "b": jax.device_put(l["b"], s["b"])}
+              for l, s in zip(params, specs)]
+    state = make_train_state(params, layersizes[-1])
+    out = _run(state, noisy, clean, starts, hyper, mesh=mesh)
+    assert np.isfinite(np.asarray(out.params[0]["w"])).all()
+    assert np.isfinite(np.asarray(out.alpha)).all()
+
+
+def test_graft_entry_contract(devices8):
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (128, 257)
+    ge.dryrun_multichip(8)

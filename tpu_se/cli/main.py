@@ -1,0 +1,196 @@
+"""tpu_se command-line interface.
+
+Commands (reference equivalents in parentheses):
+
+- ``lps-extract``  (LPS_extract.m + Wav2LPS_be): wavs -> big-endian HTK .lps
+- ``make-pfile``   (pfile_noisy.pl + feacat): .lps list -> pfile
+- ``get-norm``     (get_norm.pl + qnnorm): pfile -> .norm
+- ``gen-rand-net`` (Gen_rand_net): random-init .wts
+- ``train``        (finetune.pl + BPtrain_Sigmoid): full epoch schedule
+- ``decode``       (decode.m + LPS2Wav_be): noisy wavs -> enhanced wavs
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _read_scp(path: str) -> list[str]:
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def cmd_lps_extract(args) -> int:
+    from tpu_se.dsp import wav_to_lps
+    from tpu_se.io import read_wav, read_raw, write_htk
+
+    wavs = _read_scp(args.scp) if args.scp else args.wav
+    for path in wavs:
+        if args.format == "RAW":
+            wave = read_raw(path, swap=args.swap)
+        else:
+            wave, _sr = read_wav(path)
+        lps = wav_to_lps(wave)
+        out = args.out if args.out and len(wavs) == 1 else (
+            path.rsplit(".", 1)[0] + ".lps")
+        write_htk(out, lps)
+        print(f"{path}: {lps.shape[0]} frames -> {out}")
+    return 0
+
+
+def cmd_make_pfile(args) -> int:
+    from tpu_se.io import read_htk, write_pfile
+
+    utts = [read_htk(p)[0] for p in _read_scp(args.scp)]
+    write_pfile(args.out, utts)
+    total = sum(u.shape[0] for u in utts)
+    print(f"{len(utts)} sentences, {total} frames -> {args.out}")
+    if args.lenfile:
+        with open(args.lenfile, "w") as f:
+            for u in utts:
+                f.write(f"{u.shape[0]}\n")
+    return 0
+
+
+def cmd_get_norm(args) -> int:
+    from tpu_se.io import read_pfile, write_norm
+    from tpu_se.io.norm import compute_norm
+
+    pf = read_pfile(args.pfile)
+    mean, inv_std = compute_norm(pf.features)
+    write_norm(args.out, mean, inv_std, with_headers=not args.no_headers)
+    print(f"{pf.num_frames} frames x {pf.dim} dims -> {args.out}")
+    return 0
+
+
+def cmd_gen_rand_net(args) -> int:
+    from tpu_se.io import write_wts
+    from tpu_se.models import init_params, params_to_wts
+
+    sizes = tuple(int(s) for s in args.layersizes.split(","))
+    params = init_params(args.seed, sizes, flag=args.flag, beta=args.beta)
+    write_wts(args.out, params_to_wts(params))
+    print(f"layersizes {sizes} flag={args.flag} beta={args.beta} -> {args.out}")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from tpu_se.train import TrainConfig, run_training
+
+    cfg = TrainConfig(
+        fea_file=args.fea_file, targ_file=args.targ_file,
+        norm_file=args.norm_file, init_wts_file=args.init_wts,
+        out_dir=args.out_dir,
+        layersizes=tuple(int(s) for s in args.layersizes.split(",")),
+        bunchsize=args.bunchsize, ml_flag=bool(args.ml_flag),
+        shapefactor=args.shapefactor, momentum=args.momentum,
+        weightcost=args.weightcost, lrate=args.lrate,
+        fea_dim=args.fea_dim, fea_context=args.fea_context,
+        traincache=args.traincache, init_seed=args.seed,
+        targ_offset=args.targ_offset,
+        train_sent_range=tuple(int(s) for s in args.train_sents.split("-")),
+        cv_sent_range=tuple(int(s) for s in args.cv_sents.split("-")),
+        epochs=args.epochs, grad_scale=args.grad_scale,
+        compute_dtype=args.compute_dtype,
+        carry_velocity=args.carry_velocity,
+    )
+    if args.mesh_data > 1 or args.mesh_model > 1:
+        from tpu_se.parallel import make_mesh
+        cfg.mesh = make_mesh(args.mesh_data, args.mesh_model)
+    last = run_training(cfg)
+    print(f"final weights: {last}")
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from tpu_se.infer import decode_files
+
+    wavs = _read_scp(args.scp) if args.scp else args.wav
+    cleans = _read_scp(args.clean_scp) if args.clean_scp else None
+    decode_files(args.wts, args.norm, wavs, args.out_dir, cleans)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tpu_se", description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    s = sub.add_parser("lps-extract", help="wav -> LPS features (HTK)")
+    s.add_argument("wav", nargs="*", help="input wav files")
+    s.add_argument("--scp", help="list file of wavs")
+    s.add_argument("-F", "--format", default="WAV", choices=["WAV", "RAW"])
+    s.add_argument("--swap", action="store_true")
+    s.add_argument("-o", "--out", help="output path (single input only)")
+    s.set_defaults(func=cmd_lps_extract)
+
+    s = sub.add_parser("make-pfile", help=".lps list -> pfile")
+    s.add_argument("scp")
+    s.add_argument("-o", "--out", required=True)
+    s.add_argument("--lenfile", help="also write frame_numbers.len")
+    s.set_defaults(func=cmd_make_pfile)
+
+    s = sub.add_parser("get-norm", help="pfile -> .norm stats")
+    s.add_argument("pfile")
+    s.add_argument("-o", "--out", required=True)
+    s.add_argument("--no-headers", action="store_true",
+                   help="omit 'vec N' lines (Test_code variant)")
+    s.set_defaults(func=cmd_get_norm)
+
+    s = sub.add_parser("gen-rand-net", help="random-init .wts")
+    s.add_argument("--layersizes", default="1799,2048,2048,2048,257")
+    s.add_argument("--flag", type=int, default=1)
+    s.add_argument("--beta", type=float, default=2.0)
+    s.add_argument("--seed", type=int, default=27870775)
+    s.add_argument("-o", "--out", required=True)
+    s.set_defaults(func=cmd_gen_rand_net)
+
+    s = sub.add_parser("train", help="full training schedule")
+    s.add_argument("--fea-file", required=True)
+    s.add_argument("--targ-file", required=True)
+    s.add_argument("--norm-file", required=True)
+    s.add_argument("--init-wts", default="")
+    s.add_argument("--out-dir", default="mlp_out")
+    s.add_argument("--layersizes", default="1799,2048,2048,2048,257")
+    s.add_argument("--bunchsize", type=int, default=128)
+    s.add_argument("--ml-flag", type=int, default=1)
+    s.add_argument("--shapefactor", type=float, default=1.0)
+    s.add_argument("--momentum", type=float, default=0.9)
+    s.add_argument("--weightcost", type=float, default=1e-5)
+    s.add_argument("--lrate", type=float, default=0.1)
+    s.add_argument("--fea-dim", type=int, default=257)
+    s.add_argument("--fea-context", type=int, default=7)
+    s.add_argument("--traincache", type=int, default=102400)
+    s.add_argument("--seed", type=int, default=27870775)
+    s.add_argument("--targ-offset", type=int, default=3)
+    s.add_argument("--train-sents", default="0-7")
+    s.add_argument("--cv-sents", default="8-9")
+    s.add_argument("--epochs", type=int, default=50)
+    s.add_argument("--grad-scale", default="parity",
+                   choices=["parity", "natural"])
+    s.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    s.add_argument("--carry-velocity", action="store_true")
+    s.add_argument("--mesh-data", type=int, default=1)
+    s.add_argument("--mesh-model", type=int, default=1)
+    s.set_defaults(func=cmd_train)
+
+    s = sub.add_parser("decode", help="noisy wavs -> enhanced wavs")
+    s.add_argument("wav", nargs="*")
+    s.add_argument("--scp")
+    s.add_argument("--clean-scp", help="matching clean wavs for SegSNR/LSD")
+    s.add_argument("--wts", required=True)
+    s.add_argument("--norm", required=True)
+    s.add_argument("--out-dir", default="enhanced")
+    s.set_defaults(func=cmd_decode)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

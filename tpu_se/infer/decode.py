@@ -1,0 +1,116 @@
+"""Batch decode: noisy wav -> enhanced wav (+ SegSNR/LSD info).
+
+The ``Test_code/decode.m`` pipeline (SURVEY.md §3.3), fused into one
+device program per utterance:
+
+    wav -> LPS -> Z-score -> edge-replicated 7-frame splice -> DNN forward
+        -> de-normalize -> exp/2 + noisy phase -> OLA -> int16 wav
+
+Differences from training (parity-preserved): decode replicates sentence
+edges so every frame is enhanced (``frame_expand.m``), and de-normalization
+is ``out / inv_std + mean`` (``decode.m:60-62``).
+
+Utterance lengths are bucketed (padded to a frame multiple) so repeated
+decode calls reuse compiled programs.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_se.dsp import NUM_BINS, frame_signal, lps_from_frames, reconstruct
+from tpu_se.dsp.metrics import segsnr_lsd_pair
+from tpu_se.io import read_norm, read_wav, write_wav
+from tpu_se.io.wts import read_wts
+from tpu_se.models import forward, params_from_wts
+
+DECODE_PAD_BUCKET = 64
+
+
+@functools.partial(jax.jit, static_argnames=("context", "compute_dtype"))
+def _enhance_lps(params, lps: jax.Array, mean: jax.Array, inv_std: jax.Array,
+                 context: int = 7, compute_dtype=jnp.float32) -> jax.Array:
+    """Normalized forward over edge-replicated spliced frames, on device."""
+    t = lps.shape[0]
+    normed = (lps - mean) * inv_std
+    half = (context - 1) // 2
+    idx = jnp.clip(jnp.arange(t)[:, None]
+                   + jnp.arange(-half, half + 1)[None, :], 0, t - 1)
+    x = normed[idx].reshape(t, context * lps.shape[1])
+    out = forward(params, x, compute_dtype=compute_dtype)
+    return out / inv_std + mean
+
+
+class Enhancer:
+    """Loaded model + normalization stats, ready to enhance utterances."""
+
+    def __init__(self, wts_path, norm_path, context: int = 7,
+                 compute_dtype=jnp.float32):
+        self.params = params_from_wts(read_wts(wts_path))
+        dim = self.params[-1]["b"].shape[0]
+        mean, inv_std = read_norm(norm_path, dim)
+        self.mean = jnp.asarray(mean)
+        self.inv_std = jnp.asarray(inv_std)
+        self.context = context
+        self.compute_dtype = compute_dtype
+
+    def enhance_lps(self, lps: np.ndarray) -> np.ndarray:
+        """Enhanced (de-normalized) LPS [T, 257] from noisy LPS [T, 257]."""
+        t = lps.shape[0]
+        pad_t = -(-t // DECODE_PAD_BUCKET) * DECODE_PAD_BUCKET
+        lps_p = np.pad(lps, ((0, pad_t - t), (0, 0)))
+        out = _enhance_lps(self.params, jnp.asarray(lps_p), self.mean,
+                           self.inv_std, self.context, self.compute_dtype)
+        return np.asarray(out)[:t]
+
+    def enhance(self, noisy_wave: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """noisy int16 wave -> (enhanced int16 wave, recon frames, enh LPS)."""
+        frames = frame_signal(noisy_wave)
+        lps = np.asarray(lps_from_frames(jnp.asarray(frames)))
+        enh_lps = self.enhance_lps(lps)
+        wave, recon = reconstruct(enh_lps, noisy_wave)
+        return wave, recon, enh_lps
+
+
+def enhance_utterance(wts_path, norm_path, noisy_wave: np.ndarray
+                      ) -> np.ndarray:
+    return Enhancer(wts_path, norm_path).enhance(noisy_wave)[0]
+
+
+def decode_files(wts_path, norm_path, wav_paths: list, out_dir,
+                 clean_paths: list | None = None, log=print) -> list[dict]:
+    """decode.m batch loop: enhance each wav, write *_enhanced.wav + info.
+
+    With ``clean_paths`` given, per-utterance SegSNR/LSD (enhanced and noisy
+    baselines) are computed as ``LPS2Wav_be`` writes to info.txt.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    enh = Enhancer(wts_path, norm_path)
+    results = []
+    for i, path in enumerate(wav_paths):
+        noisy, sr = read_wav(path)
+        wave, recon, enh_lps = enh.enhance(noisy)
+        stem = os.path.splitext(os.path.basename(str(path)))[0]
+        out_path = os.path.join(out_dir, stem + "_enhanced.wav")
+        write_wav(out_path, wave, sr)
+        info = {"wav": str(path), "out": out_path}
+        if clean_paths is not None:
+            clean, _ = read_wav(clean_paths[i])
+            power = np.where(enh_lps < -50.0, np.exp(-50.0), np.exp(enh_lps))
+            info.update(segsnr_lsd_pair(clean, noisy, recon, power))
+            with open(os.path.join(out_dir, stem + ".info.txt"), "w") as f:
+                f.write("Segmental SNR:\n%f\n" % info["segsnr"])
+                f.write("Log-Spectral Distortion:\n%f\n" % info["lsd"])
+            log(f"{stem}: segsnr={info['segsnr']:.2f} "
+                f"(noisy {info['segsnr_noisy']:.2f}) "
+                f"lsd={info['lsd']:.2f} (noisy {info['lsd_noisy']:.2f})")
+        else:
+            log(f"{stem}: enhanced -> {out_path}")
+        results.append(info)
+    return results

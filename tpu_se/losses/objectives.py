@@ -58,8 +58,14 @@ def ggd_alpha(err: jax.Array, beta: float) -> jax.Array:
 
 
 def ggd_grad(err: jax.Array, alpha: jax.Array, beta: float) -> jax.Array:
-    """ML-GGD output gradient [M, D] given raw error and scale factors."""
-    return _sign_pow(err, beta - 1.0) * (beta / alpha ** beta)
+    """ML-GGD output gradient [M, D] given raw error and scale factors.
+
+    alpha_d == 0 (all-zero error in dim d) maps to gradient 0, like the
+    reference's e == 0 branch in ``kernfunc2`` — not 0 * inf.
+    """
+    safe_alpha = jnp.where(alpha == 0.0, 1.0, alpha)
+    scale = jnp.where(alpha == 0.0, 0.0, beta / safe_alpha ** beta)
+    return _sign_pow(err, beta - 1.0) * scale
 
 
 def output_grad_and_alpha(out: jax.Array, targ: jax.Array, beta: float,
