@@ -16,8 +16,11 @@ import numpy as np
 
 from tpu_se.data.chunks import ChunkPlan, plan_chunks
 from tpu_se.data.splice import splice_frames, window_starts_for_chunk
+from tpu_se.io import native
 from tpu_se.io.norm import read_norm
-from tpu_se.io.pfile import read_pfile
+from tpu_se.io.pfile import (
+    PFILE_HEADER_SIZE, read_pfile_meta, read_pfile_rows,
+)
 
 
 @dataclass
@@ -47,21 +50,36 @@ class Chunk:
 
 
 class PfilePairDataset:
-    """Noisy/clean pfile pair with reference chunking semantics."""
+    """Noisy/clean pfile pair with reference chunking semantics.
+
+    Streaming by design: only the headers and sentence tables are parsed up
+    front; each chunk's rows are read, byte-swapped and normalized on
+    demand — via the native C++ loader when built (``native/``), else
+    numpy.  This mirrors the reference's per-chunk fseek/fread engine and
+    keeps memory flat for arbitrarily large pfiles.
+    """
 
     def __init__(self, noisy_pfile, clean_pfile, norm_file,
                  sent_range: tuple[int, int], traincache: int = 102400,
-                 context: int = 7, targ_offset: int = 3):
-        self.noisy = read_pfile(noisy_pfile)
-        self.clean = read_pfile(clean_pfile)
-        if not np.array_equal(self.noisy.sent_ends, self.clean.sent_ends):
+                 context: int = 7, targ_offset: int = 3,
+                 use_native: bool | None = None):
+        self.noisy_path = str(noisy_pfile)
+        self.clean_path = str(clean_pfile)
+        n_sents, n_frames, dim, sent_ends = read_pfile_meta(noisy_pfile)
+        c_sents, c_frames, c_dim, c_ends = read_pfile_meta(clean_pfile)
+        if (n_sents, n_frames) != (c_sents, c_frames) or \
+                not np.array_equal(sent_ends, c_ends):
             raise ValueError("noisy/clean pfile sentence tables differ "
                              "(Interface.cc:560-580 consistency check)")
-        self.mean, self.inv_std = read_norm(norm_file, self.noisy.dim)
+        self._dim = dim
+        self._clean_dim = c_dim
+        self.sent_ends = sent_ends
+        self.mean, self.inv_std = read_norm(norm_file, dim)
         self.context = context
         self.targ_offset = targ_offset
+        self.use_native = native.available() if use_native is None else use_native
         self.plan: ChunkPlan = plan_chunks(
-            self.noisy.sent_ends, sent_range, traincache, context)
+            sent_ends, sent_range, traincache, context)
 
     @property
     def n_chunks(self) -> int:
@@ -73,17 +91,27 @@ class PfilePairDataset:
 
     @property
     def dim(self) -> int:
-        return self.noisy.dim
+        return self._dim
+
+    def _read_normalized(self, path: str, dim: int, lo: int, hi: int
+                         ) -> np.ndarray:
+        # Targets use the NOISY statistics too (Interface.cc:804-810,
+        # mean[j % fea_dim]) — with equal dims that is simply (mean, inv).
+        if self.use_native:
+            return native.read_chunk_normalized(
+                path, PFILE_HEADER_SIZE, dim, lo, hi, self.mean, self.inv_std)
+        rows = read_pfile_rows(path, dim, lo, hi)
+        return ((rows - self.mean) * self.inv_std).astype(np.float32)
 
     def chunk(self, idx: int, rng: np.random.Generator | None = None) -> Chunk:
         """Load chunk ``idx``; pass an rng for shuffled training order."""
         lo = int(self.plan.frame_start[idx])
         hi = int(self.plan.frame_end[idx])
-        noisy = (self.noisy.features[lo:hi] - self.mean) * self.inv_std
-        clean = (self.clean.features[lo:hi] - self.mean) * self.inv_std
+        noisy = self._read_normalized(self.noisy_path, self._dim, lo, hi)
+        clean = self._read_normalized(self.clean_path, self._clean_dim, lo, hi)
         starts = window_starts_for_chunk(self.plan, idx, rng) - lo
-        return Chunk(noisy.astype(np.float32), clean.astype(np.float32),
-                     starts.astype(np.int32), self.context, self.targ_offset)
+        return Chunk(noisy, clean, starts.astype(np.int32),
+                     self.context, self.targ_offset)
 
     def epoch_chunks(self, rng: np.random.Generator):
         """Shuffled chunk order + shuffled samples (BPtrain.cc:86-100)."""

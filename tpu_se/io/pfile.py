@@ -67,6 +67,36 @@ def read_pfile_header(path) -> dict:
     return out
 
 
+def read_pfile_meta(path) -> tuple[int, int, int, np.ndarray]:
+    """Header-only parse: (num_sentences, num_frames, dim, sent_ends)."""
+    hdr = read_pfile_header(path)
+    num_sents = int(hdr["num_sentences"].split()[0])
+    num_frames = int(hdr["num_frames"].split()[0])
+    dim = int(hdr["num_features"].split()[0])
+    ncol = 2 + dim
+    with open(path, "rb") as f:
+        f.seek(PFILE_HEADER_SIZE + num_frames * ncol * 4 + 4)
+        sent_ends = np.frombuffer(f.read(num_sents * 4),
+                                  dtype=">i4").astype(np.int32)
+    return num_sents, num_frames, dim, sent_ends
+
+
+def read_pfile_rows(path, dim: int, frame_lo: int, frame_hi: int
+                    ) -> np.ndarray:
+    """Stream feature rows [frame_lo, frame_hi) -> float32 [n, dim].
+
+    The numpy equivalent of the reference's per-chunk fseek/fread + swap
+    (``Interface.cc:746-766``); the native C++ loader in
+    ``tpu_se.io.native`` is the fast path.
+    """
+    ncol = 2 + dim
+    n = frame_hi - frame_lo
+    with open(path, "rb") as f:
+        f.seek(PFILE_HEADER_SIZE + frame_lo * ncol * 4)
+        rows = np.frombuffer(f.read(n * ncol * 4), dtype=">f4")
+    return rows.reshape(n, ncol)[:, 2:].astype(np.float32)
+
+
 def read_pfile(path) -> PFile:
     hdr = read_pfile_header(path)
     num_sents = int(hdr["num_sentences"].split()[0])
