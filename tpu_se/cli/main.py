@@ -94,6 +94,9 @@ def cmd_train(args) -> int:
         epochs=args.epochs, grad_scale=args.grad_scale,
         compute_dtype=args.compute_dtype,
         carry_velocity=args.carry_velocity,
+        activation=args.activation,
+        dropout_flag=bool(args.dropoutflag),
+        visible_omit=args.visible_omit, hid_omit=args.hid_omit,
     )
     if args.mesh_data > 1 or args.mesh_model > 1:
         from tpu_se.parallel import make_mesh
@@ -172,6 +175,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"])
     s.add_argument("--carry-velocity", action="store_true")
+    s.add_argument("--activation", default="sigmoid",
+                   choices=["sigmoid", "relu"])
+    s.add_argument("--dropoutflag", type=int, default=0)
+    s.add_argument("--visible-omit", type=float, default=0.1)
+    s.add_argument("--hid-omit", type=float, default=0.1)
     s.add_argument("--mesh-data", type=int, default=1)
     s.add_argument("--mesh-model", type=int, default=1)
     s.set_defaults(func=cmd_train)

@@ -46,11 +46,49 @@ def _enhance_lps(params, lps: jax.Array, mean: jax.Array, inv_std: jax.Array,
     return out / inv_std + mean
 
 
+SWITCHPOINT = 36          # LogSpec2Wav.c:76 — low/high band split
+THRESHOLD1 = -2.1         # max suppression, bins 0..36   (:77)
+THRESHOLD2 = -3.43        # max suppression, bins 37..256 (:78)
+NOISE_FRAME_NUM = 10      # leading frames treated as noise (:80)
+SMOOTH_WIN = 1            # running-min half-window (:75)
+
+
+def postprocess_lps(enh_lps: np.ndarray, noisy_lps: np.ndarray) -> np.ndarray:
+    """The vocoder's POSTPROCESS option (``LogSpec2Wav.c:655-679``):
+    floor the enhanced LPS at the noisy LPS plus a per-band threshold,
+    bounding the maximum suppression (~9 dB low bins, ~15 dB high bins)."""
+    floor = noisy_lps + np.where(
+        np.arange(enh_lps.shape[1]) <= SWITCHPOINT, THRESHOLD1, THRESHOLD2)
+    return np.maximum(enh_lps, floor).astype(np.float32)
+
+
+def smooth_power(power: np.ndarray) -> np.ndarray:
+    """The vocoder's SMOOTHPROCESS option (``LogSpec2Wav.c:497-546``):
+    per frequency bin, frames whose power is below the max over the first
+    NOISE_FRAME_NUM frames are replaced with a running min over the
+    +-SMOOTH_WIN neighborhood (of the ORIGINAL values)."""
+    t = power.shape[0]
+    if t <= 2 * SMOOTH_WIN:
+        return power
+    noise_max = power[:NOISE_FRAME_NUM].max(axis=0, keepdims=True)
+    out = power.copy()
+    window_min = power.copy()
+    for off in range(1, SMOOTH_WIN + 1):
+        window_min[off:] = np.minimum(window_min[off:], power[:-off])
+        window_min[:-off] = np.minimum(window_min[:-off], power[off:])
+    region = np.zeros_like(power, dtype=bool)
+    region[SMOOTH_WIN: t - SMOOTH_WIN] = True
+    mask = region & (power < noise_max)
+    out[mask] = window_min[mask]
+    return out
+
+
 class Enhancer:
     """Loaded model + normalization stats, ready to enhance utterances."""
 
     def __init__(self, wts_path, norm_path, context: int = 7,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, postprocess: bool = False,
+                 smooth: bool = False):
         self.params = params_from_wts(read_wts(wts_path))
         dim = self.params[-1]["b"].shape[0]
         mean, inv_std = read_norm(norm_path, dim)
@@ -58,6 +96,8 @@ class Enhancer:
         self.inv_std = jnp.asarray(inv_std)
         self.context = context
         self.compute_dtype = compute_dtype
+        self.postprocess = postprocess
+        self.smooth = smooth
 
     def enhance_lps(self, lps: np.ndarray) -> np.ndarray:
         """Enhanced (de-normalized) LPS [T, 257] from noisy LPS [T, 257]."""
@@ -74,6 +114,11 @@ class Enhancer:
         frames = frame_signal(noisy_wave)
         lps = np.asarray(lps_from_frames(jnp.asarray(frames)))
         enh_lps = self.enhance_lps(lps)
+        if self.smooth:
+            power = np.where(enh_lps < -50.0, np.exp(-50.0), np.exp(enh_lps))
+            enh_lps = np.log(smooth_power(power)).astype(np.float32)
+        if self.postprocess:
+            enh_lps = postprocess_lps(enh_lps, lps)
         wave, recon = reconstruct(enh_lps, noisy_wave)
         return wave, recon, enh_lps
 

@@ -43,6 +43,7 @@ def init_params(seed: int, layersizes=DEFAULT_LAYERSIZES,
 
 def forward(params: list[dict], x: jax.Array,
             compute_dtype=jnp.float32,
+            activation: str = "sigmoid",
             dropout_rates: tuple[float, ...] | None = None,
             dropout_rng: jax.Array | None = None) -> jax.Array:
     """Batched forward: x [M, n_in] -> [M, n_out].
@@ -51,13 +52,23 @@ def forward(params: list[dict], x: jax.Array,
     float32 accumulation (params stay float32 — the fast path for benching;
     float32 is the parity default).
 
+    ``activation`` selects the hidden nonlinearity: "sigmoid" (default) or
+    "relu" — the reference's ``#ifdef RELU`` build (``DevFunc.cu:40-49``,
+    ``Makefile:8-16``); autodiff of either matches its hand-written
+    derivative kernels.
+
     ``dropout_rates`` (visible, hidden) enables the reference's input-side
     dropout (``BP_GPU.cu:344-356``): each layer's *input* is zeroed with
-    prob p and scaled by 1/(1-p)... note the reference scales at CV time by
-    multiplying weights with (1-p) instead (``BP_GPU.cu:484-499``); we use
-    the mathematically equivalent inverted dropout at train time so
-    inference needs no weight rescaling.
+    prob p.  The reference rescales weights by (1-p) at CV time
+    (``BP_GPU.cu:484-499``); we use the mathematically equivalent inverted
+    dropout at train time so inference needs no weight rescaling.
     """
+    if activation == "sigmoid":
+        act = jax.nn.sigmoid
+    elif activation == "relu":
+        act = jax.nn.relu
+    else:
+        raise ValueError(f"unknown activation {activation!r}")
     h = x
     n_layers = len(params)
     for i, layer in enumerate(params):
@@ -70,7 +81,7 @@ def forward(params: list[dict], x: jax.Array,
         w = layer["w"].astype(compute_dtype)
         z = jnp.dot(h.astype(compute_dtype), w,
                     preferred_element_type=jnp.float32) + layer["b"]
-        h = jax.nn.sigmoid(z) if i < n_layers - 1 else z
+        h = act(z) if i < n_layers - 1 else z
     return h
 
 

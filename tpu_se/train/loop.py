@@ -68,6 +68,10 @@ class TrainConfig:
     grad_scale: str = "parity"
     compute_dtype: str = "float32"   # or "bfloat16"
     carry_velocity: bool = False
+    activation: str = "sigmoid"      # "relu" = the reference's RELU build
+    dropout_flag: bool = False       # dropoutflag (finetune.pl:74-76)
+    visible_omit: float = 0.1
+    hid_omit: float = 0.1
     mesh: object = None              # optional jax.sharding.Mesh
 
     def hyper(self) -> TrainHyper:
@@ -78,6 +82,9 @@ class TrainConfig:
             grad_scale=self.grad_scale,
             compute_dtype=jnp.bfloat16 if self.compute_dtype == "bfloat16"
             else jnp.float32,
+            activation=self.activation,
+            dropout=((self.visible_omit, self.hid_omit)
+                     if self.dropout_flag else None),
         )
 
     def lr_for_epoch(self, epoch: int) -> float:
@@ -102,8 +109,12 @@ def train_one_epoch(state: TrainState, dataset: PfilePairDataset,
                     hyper: TrainHyper, lr: float,
                     rng: np.random.Generator, mesh=None,
                     log=print) -> TrainState:
+    import jax
+
     lr_arr = jnp.float32(lr)
     n_chunks = dataset.n_chunks
+    dropout_key = (jax.random.PRNGKey(int(rng.integers(2 ** 31)))
+                   if hyper.dropout is not None else None)
     for i, chunk in enumerate(PrefetchIterator(dataset.epoch_chunks(rng))):
         m = hyper.bunchsize
         n_bunches = chunk.n_samples // m
@@ -115,8 +126,11 @@ def train_one_epoch(state: TrainState, dataset: PfilePairDataset,
         if mesh is not None:
             from tpu_se.parallel import shard_train_args
             noisy, clean, starts = shard_train_args(mesh, noisy, clean, starts)
+        chunk_key = (jax.random.fold_in(dropout_key, i)
+                     if dropout_key is not None else None)
         state = train_chunk(state, jnp.asarray(noisy), jnp.asarray(clean),
-                            jnp.asarray(starts), lr_arr, hyper)
+                            jnp.asarray(starts), lr_arr, hyper,
+                            dropout_key=chunk_key)
         log(f"  chunk {i+1}/{n_chunks}: {n_bunches} bunches")
     return state
 
@@ -136,7 +150,8 @@ def evaluate_cv(state: TrainState, cv_dataset: PfilePairDataset,
         for lo in range(0, chunk.n_samples, 4096):
             s = chunk.starts[lo:lo + 4096]
             out = np.asarray(cv_forward(state.params, noisy, jnp.asarray(s),
-                                        hyper.context, hyper.compute_dtype),
+                                        hyper.context, hyper.compute_dtype,
+                                        hyper.activation),
                              dtype=np.float64)
             targ = clean_np[s + hyper.targ_offset].astype(np.float64)
             err = out - targ

@@ -53,6 +53,8 @@ class TrainHyper:
     targ_offset: int = 3
     grad_scale: str = "parity"   # "parity" | "natural"
     compute_dtype: Any = jnp.float32
+    activation: str = "sigmoid"  # "sigmoid" | "relu" (the #ifdef RELU build)
+    dropout: tuple | None = None  # (visible_omit, hid_omit) or None
 
     def __post_init__(self):
         if self.grad_scale not in ("parity", "natural"):
@@ -90,22 +92,32 @@ def gather_splice(frames: jax.Array, starts: jax.Array, context: int
 
 @functools.partial(jax.jit, static_argnames=("hyper",), donate_argnums=(0,))
 def train_chunk(state: TrainState, noisy: jax.Array, clean: jax.Array,
-                starts: jax.Array, lr: jax.Array, hyper: TrainHyper
-                ) -> TrainState:
+                starts: jax.Array, lr: jax.Array, hyper: TrainHyper,
+                dropout_key: jax.Array | None = None) -> TrainState:
     """Train all full bunches of one chunk.
 
     noisy/clean: [F, D] normalized frames; starts: [n_bunches, M] int32
     window starts (shuffled); lr: scalar (traced, so the epoch schedule does
-    not recompile).
+    not recompile); dropout_key: PRNG key when hyper.dropout is set.
     """
     opt_n = hyper.bunchsize if hyper.grad_scale == "parity" else 1
+    use_dropout = hyper.dropout is not None and dropout_key is not None
 
-    def body(carry, bunch_starts):
+    def body(carry, scan_in):
         params, velocity, _alpha = carry
+        bunch_starts, step_idx = scan_in
         x = gather_splice(noisy, bunch_starts, hyper.context)
         targ = clean[bunch_starts + hyper.targ_offset]
-        out, vjp = jax.vjp(
-            lambda p: forward(p, x, compute_dtype=hyper.compute_dtype), params)
+
+        def fwd(p):
+            rng = (jax.random.fold_in(dropout_key, step_idx)
+                   if use_dropout else None)
+            return forward(p, x, compute_dtype=hyper.compute_dtype,
+                           activation=hyper.activation,
+                           dropout_rates=hyper.dropout if use_dropout else None,
+                           dropout_rng=rng)
+
+        out, vjp = jax.vjp(fwd, params)
         dedx, alpha = output_grad_and_alpha(out, targ, hyper.beta, hyper.ml)
         grads = vjp(dedx)[0]
         params, velocity = sgd_momentum_update(
@@ -113,17 +125,22 @@ def train_chunk(state: TrainState, noisy: jax.Array, clean: jax.Array,
             opt_n)
         return (params, velocity, alpha), None
 
+    n_bunches = starts.shape[0]
     (params, velocity, alpha), _ = jax.lax.scan(
-        body, (state.params, state.velocity, state.alpha), starts)
+        body, (state.params, state.velocity, state.alpha),
+        (starts, jnp.arange(n_bunches)))
     return TrainState(params, velocity, alpha)
 
 
-@functools.partial(jax.jit, static_argnames=("context", "compute_dtype"))
+@functools.partial(jax.jit,
+                   static_argnames=("context", "compute_dtype", "activation"))
 def cv_forward(params, noisy: jax.Array, starts: jax.Array, context: int = 7,
-               compute_dtype=jnp.float32) -> jax.Array:
+               compute_dtype=jnp.float32,
+               activation: str = "sigmoid") -> jax.Array:
     """Forward a batch of CV windows: [N] starts -> [N, out_dim] outputs."""
     x = gather_splice(noisy, starts, context)
-    return forward(params, x, compute_dtype=compute_dtype)
+    return forward(params, x, compute_dtype=compute_dtype,
+                   activation=activation)
 
 
 # CV metric accumulation lives in tpu_se.train.loop.evaluate_cv (it drives
