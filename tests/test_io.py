@@ -158,3 +158,30 @@ def test_wts_roundtrip(tmp_path):
     for a, b in zip(layers, back):
         np.testing.assert_array_equal(a["w"], b["w"])
         np.testing.assert_array_equal(a["b"], b["b"])
+
+
+def test_frames_in_htk_file(reference_dir):
+    from tpu_se.io import frames_in_htk_file
+    path = reference_dir / "Feature_prepare/data/TEST_DR8_MPAM0_SX289.lps"
+    assert frames_in_htk_file(path, 257) == 168
+
+
+def test_concat_and_deslen(tmp_path):
+    from tpu_se.io import concat_pfiles
+    rng = np.random.default_rng(7)
+    a = [rng.normal(size=(9, 4)).astype(np.float32)]
+    b = [rng.normal(size=(5, 4)).astype(np.float32),
+         rng.normal(size=(6, 4)).astype(np.float32)]
+    write_pfile(tmp_path / "a.pfile", a)
+    write_pfile(tmp_path / "b.pfile", b)
+    concat_pfiles(tmp_path / "ab.pfile",
+                  [tmp_path / "a.pfile", tmp_path / "b.pfile"])
+    pf = read_pfile(tmp_path / "ab.pfile")
+    assert pf.num_sentences == 3
+    np.testing.assert_array_equal(pf.sent_lengths(), [9, 5, 6])
+    np.testing.assert_array_equal(pf.sentence(2), b[1])
+    # deslenfile-style truncation on write.
+    write_pfile(tmp_path / "t.pfile", a + b, desired_lengths=[4, 5, 2])
+    pf2 = read_pfile(tmp_path / "t.pfile")
+    np.testing.assert_array_equal(pf2.sent_lengths(), [4, 5, 2])
+    np.testing.assert_array_equal(pf2.sentence(0), a[0][:4])

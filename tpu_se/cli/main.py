@@ -43,13 +43,25 @@ def cmd_make_pfile(args) -> int:
     from tpu_se.io import read_htk, write_pfile
 
     utts = [read_htk(p)[0] for p in _read_scp(args.scp)]
-    write_pfile(args.out, utts)
+    desired = None
+    if args.deslenfile:
+        desired = [int(line) for line in _read_scp(args.deslenfile)]
+    write_pfile(args.out, utts, desired_lengths=desired)
     total = sum(u.shape[0] for u in utts)
     print(f"{len(utts)} sentences, {total} frames -> {args.out}")
     if args.lenfile:
         with open(args.lenfile, "w") as f:
             for u in utts:
                 f.write(f"{u.shape[0]}\n")
+    return 0
+
+
+def cmd_concat_pfile(args) -> int:
+    from tpu_se.io import concat_pfiles, read_pfile_meta
+
+    concat_pfiles(args.out, args.pfile)
+    n_sents, n_frames, dim, _ = read_pfile_meta(args.out)
+    print(f"{n_sents} sentences, {n_frames} frames x {dim} -> {args.out}")
     return 0
 
 
@@ -132,7 +144,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("scp")
     s.add_argument("-o", "--out", required=True)
     s.add_argument("--lenfile", help="also write frame_numbers.len")
+    s.add_argument("--deslenfile",
+                   help="truncate utterances to these lengths "
+                        "(feacat -deslenfile)")
     s.set_defaults(func=cmd_make_pfile)
+
+    s = sub.add_parser("concat-pfile", help="merge pfiles (pfile_concat)")
+    s.add_argument("pfile", nargs="+")
+    s.add_argument("-o", "--out", required=True)
+    s.set_defaults(func=cmd_concat_pfile)
 
     s = sub.add_parser("get-norm", help="pfile -> .norm stats")
     s.add_argument("pfile")

@@ -43,6 +43,16 @@ def read_htk(path) -> tuple[np.ndarray, HTKHeader]:
     return data.reshape(n_samples, n_dim).astype(np.float32), hdr
 
 
+def frames_in_htk_file(path, n_dim: int = 257) -> int:
+    """Frame count from file size alone: (size - 12) / 4 / n_dim.
+
+    The ``GetLenForFeaScp.pl:52`` method — used to build length files
+    without reading the data.
+    """
+    import os
+    return (os.path.getsize(path) - HTK_HEADER_SIZE) // 4 // n_dim
+
+
 def write_htk(path, data: np.ndarray, samp_period: int = 160000,
               param_kind: int = 9) -> None:
     """Write float32 [T, D] as a big-endian HTK file (reference layout)."""

@@ -118,8 +118,28 @@ def read_pfile(path) -> PFile:
     return PFile(features, sent_ids, frame_ids, sent_ends)
 
 
-def write_pfile(path, utterances: list[np.ndarray]) -> None:
-    """Write a list of [T_i, D] float32 arrays as a reference-layout pfile."""
+def concat_pfiles(out_path, in_paths: list) -> None:
+    """Merge pfiles sentence-wise (QuickNet ``pfile_concat`` equivalent,
+    ``tools_pfile/pfile_noisy.pl:46``)."""
+    utts = []
+    for p in in_paths:
+        pf = read_pfile(p)
+        utts.extend(pf.sentence(i) for i in range(pf.num_sentences))
+    write_pfile(out_path, utts)
+
+
+def write_pfile(path, utterances: list[np.ndarray],
+                desired_lengths: list[int] | None = None) -> None:
+    """Write a list of [T_i, D] float32 arrays as a reference-layout pfile.
+
+    ``desired_lengths`` truncates each utterance to the given frame count —
+    feacat's ``-deslenfile`` option (``pfile_noisy.pl:34``), used to force
+    noisy/clean feature pairs to identical lengths.
+    """
+    if desired_lengths is not None:
+        if len(desired_lengths) != len(utterances):
+            raise ValueError("desired_lengths/utterances count mismatch")
+        utterances = [u[:n] for u, n in zip(utterances, desired_lengths)]
     if not utterances:
         raise ValueError("no utterances")
     dim = utterances[0].shape[1]

@@ -181,7 +181,6 @@ def run_training(cfg: TrainConfig, log=print) -> str:
     last_path = ""
     for epoch in range(1, cfg.epochs + 1):
         out_path = os.path.join(cfg.out_dir, f"mlp.{epoch}.wts")
-        log_path = os.path.join(cfg.out_dir, f"mlp.{epoch}.log")
         if os.path.exists(out_path):
             log(f"epoch {epoch}: {out_path} exists, skipping (resume)")
             last_path = out_path
@@ -200,21 +199,17 @@ def run_training(cfg: TrainConfig, log=print) -> str:
 
         lr = cfg.lr_for_epoch(epoch)
         rng = np.random.default_rng(cfg.seed_for_epoch(epoch))
-        lines = [f"epoch {epoch} lr={lr:.6g} seed={cfg.seed_for_epoch(epoch)}",
-                 f"config: {cfg}"]
+        from tpu_se.utils import EpochLogger
+        elog = EpochLogger(cfg.out_dir, epoch)
+        elog(f"epoch {epoch} lr={lr:.6g} seed={cfg.seed_for_epoch(epoch)}")
+        elog.config(cfg)
         t0 = time.time()
         state = train_one_epoch(state, dataset, hyper, lr, rng,
-                                mesh=cfg.mesh, log=lambda s: lines.append(s))
+                                mesh=cfg.mesh, log=elog)
         metrics = evaluate_cv(state, cv_dataset, hyper)
         dt = time.time() - t0
         save_checkpoint(out_path, state)
-        lines.append(
-            f"CV squared error: {metrics['cv_squared_error']:.6f}  "
-            f"abs error: {metrics['cv_abs_error']:.6f}  "
-            f"GGD loglik: {metrics['cv_ggd_loglik']:.6f}")
-        lines.append(f"Total cost time: {dt:.1f} s")
-        with open(log_path, "w") as f:
-            f.write("\n".join(lines) + "\n")
+        elog.finish(metrics)
         log(f"epoch {epoch}: sq={metrics['cv_squared_error']:.1f} "
             f"abs={metrics['cv_abs_error']:.1f} "
             f"ll={metrics['cv_ggd_loglik']:.1f} ({dt:.1f}s)")
