@@ -111,14 +111,25 @@ def lps_from_frames(frames: jax.Array, method: str = "matmul") -> jax.Array:
     return jnp.where(power < floor, jnp.float32(LOG_FLOOR), jnp.log(power))
 
 
+FRAME_BUCKET = 256  # pad T to a multiple -> bounded set of compiled shapes
+
+
 def wav_to_lps(wave: np.ndarray, method: str = "matmul") -> np.ndarray:
     """Waveform (int16 samples) -> float32 LPS [T, 257].
 
     End-to-end equivalent of the ``Wav2LPS_be -F RAW -fs 16`` CLI
     (``Wav2LogSpec_be.c:280-618``) for the WinSize=0 configuration used
-    throughout the reference pipeline.
+    throughout the reference pipeline.  The frame count is bucket-padded
+    before the jitted kernel (zero frames -> floor rows, sliced off) so
+    arbitrary utterance lengths reuse a handful of compiled programs.
     """
     frames = frame_signal(wave)
-    if frames.shape[0] == 0:
+    t = frames.shape[0]
+    if t == 0:
         return np.zeros((0, NUM_BINS), dtype=np.float32)
-    return np.asarray(lps_from_frames(jnp.asarray(frames), method=method))
+    t_pad = -(-t // FRAME_BUCKET) * FRAME_BUCKET
+    if t_pad != t:
+        frames = np.concatenate(
+            [frames, np.zeros((t_pad - t, FRAME_LENGTH), dtype=np.float32)])
+    out = lps_from_frames(jnp.asarray(frames), method=method)
+    return np.asarray(out)[:t]

@@ -11,17 +11,16 @@ Exact re-implementations of the decode-time metrics in
   utterance's spectrogram is floored at its global max * 10^(-50/10)
   (50 dB dynamic range); per frame RMS over the 257 bins of
   ``10*log10(P_x / P_clean)``, averaged over frames.
+
+Pure numpy: metric evaluation is host-side bookkeeping — no XLA compiles
+per utterance shape.
 """
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from tpu_se.dsp.analysis import (
-    FFT_LENGTH, NUM_BINS, frame_signal, hamming_window,
-)
+from tpu_se.dsp.analysis import FFT_LENGTH, frame_signal, hamming_window
 
 LOW_SEGSNR = -20.0
 HIGH_SEGSNR = 30.0
@@ -30,22 +29,24 @@ DYN_RANGE_DB = 50.0
 
 def segsnr(clean_frames: np.ndarray, test_frames: np.ndarray) -> float:
     """Mean clamped per-frame SNR; inputs are raw (un-windowed) [T,512]."""
-    clean = jnp.asarray(clean_frames, dtype=jnp.float32)
-    test = jnp.asarray(test_frames, dtype=jnp.float32)
-    sig = jnp.sum(clean * clean, axis=1)
-    err = jnp.sum((test - clean) ** 2, axis=1)
-    snr = 10.0 * jnp.log10(sig / err)
-    snr = jnp.clip(snr, LOW_SEGSNR, HIGH_SEGSNR)
-    return float(jnp.mean(snr))
+    clean = np.asarray(clean_frames, dtype=np.float64)
+    test = np.asarray(test_frames, dtype=np.float64)
+    sig = (clean * clean).sum(axis=1)
+    err = ((test - clean) ** 2).sum(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        snr = 10.0 * np.log10(sig / err)
+    snr = np.clip(np.nan_to_num(snr, nan=HIGH_SEGSNR, posinf=HIGH_SEGSNR,
+                                neginf=LOW_SEGSNR),
+                  LOW_SEGSNR, HIGH_SEGSNR)
+    return float(snr.mean())
 
 
-@jax.jit
-def power_spectra(frames: jax.Array) -> jax.Array:
+def power_spectra(frames: np.ndarray) -> np.ndarray:
     """Raw frames [T,512] -> Hamming-windowed power spectra [T,257]."""
-    win = jnp.asarray(hamming_window())
-    spec = jnp.fft.rfft(frames.astype(jnp.float32) * win[None, :],
-                        n=FFT_LENGTH, axis=-1)
-    return jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    win = hamming_window().astype(np.float64)
+    spec = np.fft.rfft(np.asarray(frames, dtype=np.float64) * win[None, :],
+                       n=FFT_LENGTH, axis=-1)
+    return (spec.real ** 2 + spec.imag ** 2).astype(np.float32)
 
 
 def lsd(clean_power: np.ndarray, test_power: np.ndarray) -> float:
@@ -55,13 +56,13 @@ def lsd(clean_power: np.ndarray, test_power: np.ndarray) -> float:
     at its own global max * 10^-5 (``LogSpec2Wav.c:757-788``).
     """
     def _floor(p):
-        p = jnp.asarray(p, dtype=jnp.float32)
-        return jnp.maximum(p, jnp.max(p) * 10.0 ** (-DYN_RANGE_DB / 10.0))
+        p = np.asarray(p, dtype=np.float64)
+        return np.maximum(p, p.max() * 10.0 ** (-DYN_RANGE_DB / 10.0))
 
     pc, px = _floor(clean_power), _floor(test_power)
-    diff = 10.0 * jnp.log10(px / pc)
-    per_frame = jnp.sqrt(jnp.mean(diff * diff, axis=1))
-    return float(jnp.mean(per_frame))
+    diff = 10.0 * np.log10(px / pc)
+    per_frame = np.sqrt((diff * diff).mean(axis=1))
+    return float(per_frame.mean())
 
 
 def segsnr_lsd_pair(clean_wave: np.ndarray, noisy_wave: np.ndarray,
@@ -78,8 +79,8 @@ def segsnr_lsd_pair(clean_wave: np.ndarray, noisy_wave: np.ndarray,
     noisy_frames = frame_signal(noisy_wave)
     t = min(len(clean_frames), len(noisy_frames), len(recon_frames))
     clean_frames, noisy_frames = clean_frames[:t], noisy_frames[:t]
-    p_clean = np.asarray(power_spectra(jnp.asarray(clean_frames)))
-    p_noisy = np.asarray(power_spectra(jnp.asarray(noisy_frames)))
+    p_clean = power_spectra(clean_frames)
+    p_noisy = power_spectra(noisy_frames)
     return {
         "segsnr": segsnr(clean_frames, recon_frames[:t]),
         "segsnr_noisy": segsnr(clean_frames, noisy_frames),
