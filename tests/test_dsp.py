@@ -128,3 +128,15 @@ def test_decode_metrics_self_consistent(reference_dir):
     assert m["segsnr"] > 29.0
     assert m["lsd"] < 0.2
     assert m["lsd_noisy"] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_wav_to_lps_win_stacking(reference_dir):
+    wave, _ = read_wav(reference_dir / GOLDENS[0][0])
+    base = wav_to_lps(wave)
+    stacked = wav_to_lps(wave, win_size=1)
+    t = base.shape[0]
+    assert stacked.shape == (t - 2, 3 * 257)
+    # Row r stacks frames r, r+1, r+2 (Wav2LogSpec_be.c:513-542).
+    np.testing.assert_array_equal(stacked[0, :257], base[0])
+    np.testing.assert_array_equal(stacked[0, 257:514], base[1])
+    np.testing.assert_array_equal(stacked[5, 514:], base[7])

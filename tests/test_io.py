@@ -185,3 +185,34 @@ def test_concat_and_deslen(tmp_path):
     pf2 = read_pfile(tmp_path / "t.pfile")
     np.testing.assert_array_equal(pf2.sent_lengths(), [4, 5, 2])
     np.testing.assert_array_equal(pf2.sentence(0), a[0][:4])
+
+
+def test_nist_sphere_read(tmp_path):
+    # Synthesize a minimal NIST SPHERE file and read it back.
+    samples = np.arange(-50, 50, dtype="<i2")
+    hdr_body = (b"NIST_1A\n   1024\n"
+                b"sample_rate -i 16000\n"
+                b"channel_count -i 1\n"
+                b"sample_byte_format -s2 01\n"
+                b"sample_n_bytes -i 2\n"
+                b"end_head\n")
+    path = tmp_path / "x.sph"
+    with open(path, "wb") as f:
+        f.write(hdr_body.ljust(1024, b" "))
+        f.write(samples.tobytes())
+    wave, sr = read_wav(path)
+    assert sr == 16000
+    np.testing.assert_array_equal(wave, samples)
+
+
+def test_htk_waveform_read(tmp_path):
+    import struct
+    from tpu_se.io.wav import read_htk_waveform
+    samples = np.arange(100, dtype=np.int16)
+    path = tmp_path / "x.htkwav"
+    with open(path, "wb") as f:
+        f.write(struct.pack(">iihh", len(samples), 625, 2, 0))
+        f.write(samples.astype(">i2").tobytes())
+    wave, sr = read_htk_waveform(path)
+    assert sr == 16000
+    np.testing.assert_array_equal(wave, samples)

@@ -24,17 +24,20 @@ def _read_scp(path: str) -> list[str]:
 def cmd_lps_extract(args) -> int:
     from tpu_se.dsp import wav_to_lps
     from tpu_se.io import read_wav, read_raw, write_htk
+    from tpu_se.io.wav import read_htk_waveform
 
     wavs = _read_scp(args.scp) if args.scp else args.wav
     for path in wavs:
         if args.format == "RAW":
             wave = read_raw(path, swap=args.swap)
-        else:
+        elif args.format == "HTK":
+            wave, _sr = read_htk_waveform(path)
+        else:   # WAV: RIFF or NIST sniffed by magic
             wave, _sr = read_wav(path)
-        lps = wav_to_lps(wave)
+        lps = wav_to_lps(wave, win_size=args.win)
         out = args.out if args.out and len(wavs) == 1 else (
             path.rsplit(".", 1)[0] + ".lps")
-        write_htk(out, lps)
+        write_htk(out, lps, samp_period=160000 * (2 * args.win + 1))
         print(f"{path}: {lps.shape[0]} frames -> {out}")
     return 0
 
@@ -135,8 +138,11 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("lps-extract", help="wav -> LPS features (HTK)")
     s.add_argument("wav", nargs="*", help="input wav files")
     s.add_argument("--scp", help="list file of wavs")
-    s.add_argument("-F", "--format", default="WAV", choices=["WAV", "RAW"])
+    s.add_argument("-F", "--format", default="WAV",
+                   choices=["WAV", "RAW", "HTK", "NIST"])
     s.add_argument("--swap", action="store_true")
+    s.add_argument("--win", type=int, default=0,
+                   help="stack 2*win+1 frames per row (Wav2LPS_be -win)")
     s.add_argument("-o", "--out", help="output path (single input only)")
     s.set_defaults(func=cmd_lps_extract)
 

@@ -114,22 +114,33 @@ def lps_from_frames(frames: jax.Array, method: str = "matmul") -> jax.Array:
 FRAME_BUCKET = 256  # pad T to a multiple -> bounded set of compiled shapes
 
 
-def wav_to_lps(wave: np.ndarray, method: str = "matmul") -> np.ndarray:
-    """Waveform (int16 samples) -> float32 LPS [T, 257].
+def wav_to_lps(wave: np.ndarray, method: str = "matmul",
+               win_size: int = 0) -> np.ndarray:
+    """Waveform (int16 samples) -> float32 LPS.
 
     End-to-end equivalent of the ``Wav2LPS_be -F RAW -fs 16`` CLI
-    (``Wav2LogSpec_be.c:280-618``) for the WinSize=0 configuration used
-    throughout the reference pipeline.  The frame count is bucket-padded
+    (``Wav2LogSpec_be.c:280-618``).  The frame count is bucket-padded
     before the jitted kernel (zero frames -> floor rows, sliced off) so
     arbitrary utterance lengths reuse a handful of compiled programs.
+
+    ``win_size`` is the CLI's ``-win`` option: each output row stacks
+    2*win_size+1 consecutive LPS frames (the delayed ring buffer,
+    ``Wav2LogSpec_be.c:513-542``) and the frame count drops by 2*win_size
+    (``:575``).  The whole pipeline uses win_size=0 (one frame per row).
     """
     frames = frame_signal(wave)
     t = frames.shape[0]
     if t == 0:
-        return np.zeros((0, NUM_BINS), dtype=np.float32)
+        return np.zeros((0, NUM_BINS * (2 * win_size + 1)), dtype=np.float32)
     t_pad = -(-t // FRAME_BUCKET) * FRAME_BUCKET
     if t_pad != t:
         frames = np.concatenate(
             [frames, np.zeros((t_pad - t, FRAME_LENGTH), dtype=np.float32)])
-    out = lps_from_frames(jnp.asarray(frames), method=method)
-    return np.asarray(out)[:t]
+    out = np.asarray(lps_from_frames(jnp.asarray(frames), method=method))[:t]
+    if win_size == 0:
+        return out
+    stack = 2 * win_size + 1
+    if t < stack:
+        return np.zeros((0, NUM_BINS * stack), dtype=np.float32)
+    cols = [out[i: t - stack + 1 + i] for i in range(stack)]
+    return np.concatenate(cols, axis=1)

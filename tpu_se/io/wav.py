@@ -107,6 +107,20 @@ def write_wav(path, samples: np.ndarray, sample_rate: int = 16000) -> None:
         f.write(data)
 
 
+def read_htk_waveform(path) -> tuple[np.ndarray, int]:
+    """HTK-container WAVEFORM (sampKind 0) input: big-endian int16 samples.
+
+    The front-end's ``-F HTK`` input mode (``Wav2LogSpec_be.c:325-335``):
+    sample rate from sampPeriod in 100 ns units (625 -> 16 kHz).
+    """
+    import struct
+    with open(path, "rb") as f:
+        n, samp_period, _size, _kind = struct.unpack(">iihh", f.read(12))
+        samples = np.frombuffer(f.read(n * 2), dtype=">i2").astype(np.int16)
+    sample_rate = int(10 * (1e6 // samp_period))
+    return samples, sample_rate
+
+
 def read_raw(path, swap: bool = False) -> np.ndarray:
     """Read headerless int16 PCM (native LE unless swap)."""
     dtype = ">i2" if swap else "<i2"
