@@ -22,8 +22,17 @@ import numpy as np
 
 
 def main() -> int:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: repeated bench runs (and the round
+    # driver) skip the multi-minute remote compile.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from tpu_se.models import DEFAULT_LAYERSIZES, init_params
     from tpu_se.train import TrainHyper, make_train_state, train_chunk
