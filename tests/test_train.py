@@ -162,7 +162,9 @@ def test_two_epoch_training_improves_cv(fixture_cfg):
 def test_resume_by_existence(fixture_cfg):
     seen = []
     run_training(fixture_cfg, log=seen.append)
-    assert all("skipping (resume)" in s for s in seen)
+    epoch_lines = [s for s in seen if s.startswith("epoch")]
+    assert len(epoch_lines) == fixture_cfg.epochs
+    assert all("skipping (resume)" in s for s in epoch_lines)
 
 
 def test_evaluate_cv_numbers_are_finite(fixture_cfg, reference_dir):
@@ -177,3 +179,57 @@ def test_evaluate_cv_numbers_are_finite(fixture_cfg, reference_dir):
     # Mean per-frame-per-dim squared error of a trained model on z-scored
     # data should be well below the unit-variance baseline.
     assert m["cv_squared_error"] / (m["cv_frames"] * 257) < 1.0
+
+
+def test_device_resident_matches_streaming(reference_dir):
+    """Device-resident epochs must be numerically identical to streaming."""
+    from tpu_se.data import PfilePairDataset
+    from tpu_se.models import init_params
+    from tpu_se.train import load_device_frames, train_one_epoch
+
+    ds = PfilePairDataset(
+        reference_dir / "tools_pfile/train_noisy.pfile",
+        reference_dir / "tools_pfile/train_clean.pfile",
+        reference_dir / "tools_pfile/train_noisy.norm", (0, 7))
+    hyper = TrainHyper(beta=1.0, ml=True, bunchsize=128, context=7,
+                       targ_offset=3)
+    layersizes = (1799, 32, 257)
+
+    params = init_params(0, layersizes)
+    snap = [{k: np.asarray(v).copy() for k, v in l.items()} for l in params]
+    s1 = train_one_epoch(make_train_state(params, 257), ds, hyper, 0.1,
+                         np.random.default_rng(42), log=lambda s: None)
+
+    params2 = [{"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])}
+               for l in snap]
+    frames = load_device_frames(ds)
+    s2 = train_one_epoch(make_train_state(params2, 257), ds, hyper, 0.1,
+                         np.random.default_rng(42), device_frames=frames,
+                         log=lambda s: None)
+    np.testing.assert_allclose(np.asarray(s2.params[0]["w"]),
+                               np.asarray(s1.params[0]["w"]),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s2.alpha), np.asarray(s1.alpha),
+                               rtol=1e-5)
+
+
+def test_evaluate_cv_device_resident_matches(reference_dir):
+    from tpu_se.data import PfilePairDataset
+    from tpu_se.models import init_params
+    from tpu_se.train import evaluate_cv, load_device_frames
+
+    cv = PfilePairDataset(
+        reference_dir / "tools_pfile/train_noisy.pfile",
+        reference_dir / "tools_pfile/train_clean.pfile",
+        reference_dir / "tools_pfile/train_noisy.norm", (8, 9))
+    hyper = TrainHyper(beta=1.0, ml=True, bunchsize=128, context=7,
+                       targ_offset=3)
+    state = make_train_state(init_params(1, (1799, 32, 257)), 257)
+    m_stream = evaluate_cv(state, cv, hyper)
+    m_res = evaluate_cv(state, cv, hyper,
+                        device_frames=load_device_frames(cv))
+    assert m_res["cv_frames"] == m_stream["cv_frames"]
+    assert m_res["cv_squared_error"] == pytest.approx(
+        m_stream["cv_squared_error"], rel=1e-5)
+    assert m_res["cv_ggd_loglik"] == pytest.approx(
+        m_stream["cv_ggd_loglik"], rel=1e-5)

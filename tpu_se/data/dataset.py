@@ -104,11 +104,23 @@ class PfilePairDataset:
         return ((rows - self.mean) * self.inv_std).astype(np.float32)
 
     def chunk(self, idx: int, rng: np.random.Generator | None = None) -> Chunk:
-        """Load chunk ``idx``; pass an rng for shuffled training order."""
+        """Load chunk ``idx``; pass an rng for shuffled training order.
+
+        The noisy/clean files are read on two threads (the native loader
+        releases the GIL during the C call), halving the critical-path host
+        time — together with the PrefetchIterator double buffer this keeps
+        the device fed at chunk granularity.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
         lo = int(self.plan.frame_start[idx])
         hi = int(self.plan.frame_end[idx])
-        noisy = self._read_normalized(self.noisy_path, self._dim, lo, hi)
-        clean = self._read_normalized(self.clean_path, self._clean_dim, lo, hi)
+        with ThreadPoolExecutor(2) as pool:
+            f_noisy = pool.submit(self._read_normalized, self.noisy_path,
+                                  self._dim, lo, hi)
+            f_clean = pool.submit(self._read_normalized, self.clean_path,
+                                  self._clean_dim, lo, hi)
+            noisy, clean = f_noisy.result(), f_clean.result()
         starts = window_starts_for_chunk(self.plan, idx, rng) - lo
         return Chunk(noisy, clean, starts.astype(np.int32),
                      self.context, self.targ_offset)
@@ -117,3 +129,42 @@ class PfilePairDataset:
         """Shuffled chunk order + shuffled samples (BPtrain.cc:86-100)."""
         for idx in rng.permutation(self.n_chunks):
             yield self.chunk(int(idx), rng)
+
+    # -- device-resident mode -------------------------------------------
+    #
+    # TPU-first fast path: when the sentence range fits in HBM, the frame
+    # matrices are uploaded ONCE per job and an epoch only ships the
+    # shuffled window-start indices (~0.4 MB/chunk instead of ~210 MB).
+    # The reference semantics (chunk grouping, per-chunk shuffle, edge
+    # drop) are unchanged — they live entirely in the index generation.
+
+    def frame_span(self) -> tuple[int, int]:
+        """Absolute [lo, hi) frame range covered by this sentence range."""
+        return int(self.plan.frame_start[0]), int(self.plan.frame_end[-1])
+
+    def span_bytes(self) -> int:
+        lo, hi = self.frame_span()
+        return (hi - lo) * (self._dim + self._clean_dim) * 4
+
+    def load_span_normalized(self) -> tuple[np.ndarray, np.ndarray]:
+        """Normalized (noisy, clean) frames for the whole range."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        lo, hi = self.frame_span()
+        with ThreadPoolExecutor(2) as pool:
+            f_n = pool.submit(self._read_normalized, self.noisy_path,
+                              self._dim, lo, hi)
+            f_c = pool.submit(self._read_normalized, self.clean_path,
+                              self._clean_dim, lo, hi)
+            return f_n.result(), f_c.result()
+
+    def chunk_starts(self, idx: int,
+                     rng: np.random.Generator | None = None) -> np.ndarray:
+        """Window starts for chunk ``idx`` relative to the range span."""
+        lo, _ = self.frame_span()
+        return (window_starts_for_chunk(self.plan, idx, rng)
+                - lo).astype(np.int32)
+
+    def epoch_chunk_starts(self, rng: np.random.Generator):
+        for idx in rng.permutation(self.n_chunks):
+            yield self.chunk_starts(int(idx), rng)

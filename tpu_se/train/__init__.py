@@ -6,6 +6,7 @@ from tpu_se.train.step import (
 from tpu_se.train.checkpoint import save_checkpoint, load_checkpoint
 from tpu_se.train.loop import (
     TrainConfig, run_training, train_one_epoch, evaluate_cv,
+    load_device_frames,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "cv_forward", "gather_splice",
     "save_checkpoint", "load_checkpoint",
     "TrainConfig", "run_training", "train_one_epoch", "evaluate_cv",
+    "load_device_frames",
 ]

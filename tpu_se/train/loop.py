@@ -72,6 +72,8 @@ class TrainConfig:
     dropout_flag: bool = False       # dropoutflag (finetune.pl:74-76)
     visible_omit: float = 0.1
     hid_omit: float = 0.1
+    device_resident: str = "auto"    # keep the dataset in HBM across epochs
+    device_resident_max_bytes: int = 4 << 30
     mesh: object = None              # optional jax.sharding.Mesh
 
     def hyper(self) -> TrainHyper:
@@ -105,18 +107,59 @@ def _pad_rows(arr: np.ndarray, bucket: int = FRAME_PAD_BUCKET) -> np.ndarray:
         [arr, np.zeros((target - f, arr.shape[1]), dtype=arr.dtype)])
 
 
+def load_device_frames(dataset: PfilePairDataset, mesh=None):
+    """Upload a dataset's full normalized frame span to HBM (once per job).
+
+    Returns (noisy_dev, clean_dev) for ``train_one_epoch(device_frames=...)``
+    — the device-resident fast path: epochs then ship only index arrays.
+    """
+    import jax
+
+    noisy, clean = dataset.load_span_normalized()
+    noisy, clean = _pad_rows(noisy), _pad_rows(clean)
+    if mesh is not None:
+        from tpu_se.parallel import replicated_sharding
+        rep = replicated_sharding(mesh)
+        return (jax.device_put(noisy, rep), jax.device_put(clean, rep))
+    return jnp.asarray(noisy), jnp.asarray(clean)
+
+
 def train_one_epoch(state: TrainState, dataset: PfilePairDataset,
                     hyper: TrainHyper, lr: float,
                     rng: np.random.Generator, mesh=None,
-                    log=print) -> TrainState:
+                    device_frames=None, log=print) -> TrainState:
     import jax
 
     lr_arr = jnp.float32(lr)
     n_chunks = dataset.n_chunks
     dropout_key = (jax.random.PRNGKey(int(rng.integers(2 ** 31)))
                    if hyper.dropout is not None else None)
+
+    def sharded_starts(starts):
+        if mesh is None:
+            return jnp.asarray(starts)
+        from tpu_se.parallel import batch_sharding
+        return jax.device_put(starts, batch_sharding(mesh, 2, 1))
+
+    m = hyper.bunchsize
+    if device_frames is not None:
+        # Device-resident: frames stay in HBM; only indices move per chunk.
+        noisy_dev, clean_dev = device_frames
+        for i, starts in enumerate(
+                PrefetchIterator(dataset.epoch_chunk_starts(rng))):
+            n_bunches = len(starts) // m
+            if n_bunches == 0:
+                continue
+            starts = starts[: n_bunches * m].reshape(n_bunches, m)
+            chunk_key = (jax.random.fold_in(dropout_key, i)
+                         if dropout_key is not None else None)
+            state = train_chunk(state, noisy_dev, clean_dev,
+                                sharded_starts(starts), lr_arr, hyper,
+                                dropout_key=chunk_key)
+            log(f"  chunk {i+1}/{n_chunks}: {n_bunches} bunches (resident)")
+        return state
+
     for i, chunk in enumerate(PrefetchIterator(dataset.epoch_chunks(rng))):
-        m = hyper.bunchsize
         n_bunches = chunk.n_samples // m
         if n_bunches == 0:
             continue
@@ -135,30 +178,52 @@ def train_one_epoch(state: TrainState, dataset: PfilePairDataset,
     return state
 
 
+CV_BATCH = 4096
+
+
 def evaluate_cv(state: TrainState, cv_dataset: PfilePairDataset,
-                hyper: TrainHyper) -> dict:
+                hyper: TrainHyper, device_frames=None) -> dict:
     """CV metrics over a dataset (sequential order, partial bunches kept —
-    ``Interface.cc:841-965`` + ``BP_GPU.cu:187-306``)."""
+    ``Interface.cc:841-965`` + ``BP_GPU.cu:187-306``).
+
+    With ``device_frames`` the reductions run fully on device
+    (mask-padded fixed-size batches, one compiled program).
+    """
+    from tpu_se.train.step import cv_chunk_metrics
+
     out_dim = cv_dataset.dim
     alpha = np.asarray(state.alpha, dtype=np.float64)
     sq = ab = sum_pow = 0.0
     n_total = 0
-    for ci in range(cv_dataset.n_chunks):
-        chunk = cv_dataset.chunk(ci)           # no rng -> sequential
-        noisy = jnp.asarray(_pad_rows(chunk.noisy))
-        clean_np = chunk.clean
-        for lo in range(0, chunk.n_samples, 4096):
-            s = chunk.starts[lo:lo + 4096]
-            out = np.asarray(cv_forward(state.params, noisy, jnp.asarray(s),
-                                        hyper.context, hyper.compute_dtype,
-                                        hyper.activation),
-                             dtype=np.float64)
-            targ = clean_np[s + hyper.targ_offset].astype(np.float64)
-            err = out - targ
-            sq += float((err ** 2).sum())
-            ab += float(np.abs(err).sum())
-            sum_pow += float(((np.abs(err) / alpha) ** hyper.beta).sum())
-            n_total += len(s)
+
+    def accumulate(noisy_dev, clean_dev, starts):
+        nonlocal sq, ab, sum_pow, n_total
+        for lo in range(0, len(starts), CV_BATCH):
+            s = starts[lo:lo + CV_BATCH]
+            n = len(s)
+            mask = np.zeros(CV_BATCH, dtype=np.float32)
+            mask[:n] = 1.0
+            s_pad = np.zeros(CV_BATCH, dtype=np.int32)
+            s_pad[:n] = s
+            r_sq, r_ab, r_pw = cv_chunk_metrics(
+                state.params, noisy_dev, clean_dev, jnp.asarray(s_pad),
+                jnp.asarray(mask), state.alpha, hyper)
+            sq += float(r_sq)
+            ab += float(r_ab)
+            sum_pow += float(r_pw)
+            n_total += n
+
+    if device_frames is not None:
+        noisy_dev, clean_dev = device_frames
+        for ci in range(cv_dataset.n_chunks):
+            accumulate(noisy_dev, clean_dev, cv_dataset.chunk_starts(ci))
+    else:
+        for ci in range(cv_dataset.n_chunks):
+            chunk = cv_dataset.chunk(ci)       # no rng -> sequential
+            noisy_dev = jnp.asarray(_pad_rows(chunk.noisy))
+            clean_dev = jnp.asarray(_pad_rows(chunk.clean))
+            accumulate(noisy_dev, clean_dev, chunk.starts)
+
     gamma_val = ref_gamma(1.0 / hyper.beta)
     loglik = (n_total * out_dim * math.log(hyper.beta / (2.0 * gamma_val))
               - n_total * float(np.log(alpha).sum()) - sum_pow)
@@ -177,6 +242,22 @@ def run_training(cfg: TrainConfig, log=print) -> str:
     cv_dataset = PfilePairDataset(
         cfg.fea_file, cfg.targ_file, cfg.norm_file, cfg.cv_sent_range,
         cfg.traincache, cfg.fea_context, cfg.targ_offset)
+
+    # HBM-resident datasets: upload once per job; epochs then move only
+    # index arrays (host/interconnect traffic drops ~500x per epoch).
+    def resident(ds):
+        if cfg.device_resident == "never":
+            return None
+        if (cfg.device_resident == "auto"
+                and ds.span_bytes() > cfg.device_resident_max_bytes):
+            return None
+        return load_device_frames(ds, cfg.mesh)
+
+    train_frames = resident(dataset)
+    cv_frames = resident(cv_dataset)
+    if train_frames is not None:
+        log(f"train span resident in HBM "
+            f"({dataset.span_bytes() / 1e6:.0f} MB)")
 
     last_path = ""
     for epoch in range(1, cfg.epochs + 1):
@@ -205,8 +286,10 @@ def run_training(cfg: TrainConfig, log=print) -> str:
         elog.config(cfg)
         t0 = time.time()
         state = train_one_epoch(state, dataset, hyper, lr, rng,
-                                mesh=cfg.mesh, log=elog)
-        metrics = evaluate_cv(state, cv_dataset, hyper)
+                                mesh=cfg.mesh, device_frames=train_frames,
+                                log=elog)
+        metrics = evaluate_cv(state, cv_dataset, hyper,
+                              device_frames=cv_frames)
         dt = time.time() - t0
         save_checkpoint(out_path, state)
         elog.finish(metrics)

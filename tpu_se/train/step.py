@@ -143,5 +143,23 @@ def cv_forward(params, noisy: jax.Array, starts: jax.Array, context: int = 7,
                    activation=activation)
 
 
-# CV metric accumulation lives in tpu_se.train.loop.evaluate_cv (it drives
-# cv_forward over chunked validation sets with the reference's semantics).
+@functools.partial(jax.jit, static_argnames=("hyper",))
+def cv_chunk_metrics(params, noisy: jax.Array, clean: jax.Array,
+                     starts: jax.Array, mask: jax.Array, alpha: jax.Array,
+                     hyper: TrainHyper) -> tuple:
+    """Device-side CV accumulation for one padded batch of windows.
+
+    Returns (sum squared err, sum abs err, sum (|err|/alpha)^beta) over the
+    mask-selected windows — the three reductions behind ``CrossValid``,
+    ``CrossValiddB`` and ``CrossValid2`` (``BP_GPU.cu:187-306``).
+    """
+    x = gather_splice(noisy, starts, hyper.context)
+    out = forward(params, x, compute_dtype=hyper.compute_dtype,
+                  activation=hyper.activation)
+    targ = clean[starts + hyper.targ_offset]
+    err = (out - targ) * mask[:, None]
+    abs_e = jnp.abs(err)
+    sq = jnp.sum(err * err)
+    ab = jnp.sum(abs_e)
+    pw = jnp.sum((abs_e / alpha) ** hyper.beta * mask[:, None])
+    return sq, ab, pw
