@@ -140,3 +140,53 @@ def test_wav_to_lps_win_stacking(reference_dir):
     np.testing.assert_array_equal(stacked[0, :257], base[0])
     np.testing.assert_array_equal(stacked[0, 257:514], base[1])
     np.testing.assert_array_equal(stacked[5, 514:], base[7])
+
+
+def test_mel_filterbank_matches_etsi_construction():
+    """The dormant mel path (FEfunc.c:472-604): triangles snapped to bins."""
+    from tpu_se.dsp import mel_filterbank
+
+    fb = mel_filterbank()
+    assert fb.shape == (257, 23)
+    # band edges: channel i spans mel fractions i/(C+1)..(i+2)/(C+1) of
+    # [mel(64 Hz), mel(8 kHz)]; recompute them independently
+    def mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    lo_mel, hi_mel = mel(64.0), mel(8000.0)
+    for i in range(23):
+        lo = int(512 * hz(lo_mel + i / 24 * (hi_mel - lo_mel)) / 16000 + 0.5)
+        up = int(512 * hz(lo_mel + (i + 2) / 24 * (hi_mel - lo_mel)) / 16000
+                 + 0.5)
+        col = fb[:, i]
+        nz = np.nonzero(col)[0]
+        assert nz[0] == lo and nz[-1] == up
+        # unimodal triangle peaking at 1.0
+        peak = int(np.argmax(col))
+        assert col[peak] == pytest.approx(1.0)
+        assert np.all(np.diff(col[nz[0]:peak + 1]) > 0)
+        assert np.all(np.diff(col[peak:nz[-1] + 1]) < 0) or peak == nz[-1]
+
+
+def test_mfcc_shape_and_c0_order():
+    """DCT output order is c1..c12 then c0 (FEfunc.c:722-739)."""
+    from tpu_se.dsp import dct_matrix, wav_to_mfcc
+
+    mx = dct_matrix()
+    assert mx.shape == (23, 13)
+    np.testing.assert_array_equal(mx[:, 12], np.ones(23, dtype=np.float32))
+    j = np.arange(23)
+    np.testing.assert_allclose(
+        mx[:, 0], np.cos(np.pi * 1 / 23 * (j + 0.5)), rtol=1e-6)
+
+    rng = np.random.default_rng(3)
+    wave = (rng.normal(size=16000) * 3000).astype(np.int16)
+    cep = wav_to_mfcc(wave)
+    assert cep.shape == (wave.size // 256 - 1, 13)
+    assert np.isfinite(cep).all()
+    # c0 (last column) is the sum of log-mel energies: large and positive
+    # for a loud signal
+    assert cep[:, 12].mean() > 0

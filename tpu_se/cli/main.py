@@ -45,7 +45,16 @@ def cmd_lps_extract(args) -> int:
 def cmd_make_pfile(args) -> int:
     from tpu_se.io import read_htk, write_pfile
 
-    utts = [read_htk(p)[0] for p in _read_scp(args.scp)]
+    paths = _read_scp(args.scp)
+    utts = [read_htk(p)[0] for p in paths]
+    # GetLenForFeaScp.pl:57-67 warns on implausibly short/long utterances
+    # (< 300 ms or > 30 s at the 16 ms frame shift).
+    for p, u in zip(paths, utts):
+        t = u.shape[0]
+        if t < 300 // 16:
+            print(f"warning: {p}: only {t} frames (< 300 ms)", file=sys.stderr)
+        elif t > 30000 // 16:
+            print(f"warning: {p}: {t} frames (> 30 s)", file=sys.stderr)
     desired = None
     if args.deslenfile:
         desired = [int(line) for line in _read_scp(args.deslenfile)]

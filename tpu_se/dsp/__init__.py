@@ -11,6 +11,7 @@ reference exactly — see each module's docstring for the file:line citations.
 from tpu_se.dsp.analysis import (
     FRAME_LENGTH, FRAME_SHIFT, FFT_LENGTH, NUM_BINS, LOG_FLOOR,
     hamming_window, num_frames, frame_signal, lps_from_frames, wav_to_lps,
+    mel_filterbank, dct_matrix, mfcc_from_frames, wav_to_mfcc,
 )
 from tpu_se.dsp.synthesis import reconstruct, lps_to_wav
 from tpu_se.dsp.metrics import segsnr, lsd, power_spectra
@@ -19,5 +20,6 @@ __all__ = [
     "FRAME_LENGTH", "FRAME_SHIFT", "FFT_LENGTH", "NUM_BINS", "LOG_FLOOR",
     "hamming_window", "num_frames", "frame_signal", "lps_from_frames",
     "wav_to_lps", "reconstruct", "lps_to_wav", "segsnr", "lsd",
-    "power_spectra",
+    "power_spectra", "mel_filterbank", "dct_matrix", "mfcc_from_frames",
+    "wav_to_mfcc",
 ]

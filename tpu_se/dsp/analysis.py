@@ -111,6 +111,112 @@ def lps_from_frames(frames: jax.Array, method: str = "matmul") -> jax.Array:
     return jnp.where(power < floor, jnp.float32(LOG_FLOOR), jnp.log(power))
 
 
+# --- Dormant ETSI mel/cepstral path -----------------------------------------
+#
+# The reference front-end carries the full ETSI Aurora mel-filterbank + DCT
+# machinery but ships with it commented out of the frame loop
+# (``Wav2LogSpec_be.c:480-505``; kernels ``FEfunc.c:472-739``).  It is
+# provided here with the same status — available, unused by the LPS
+# pipeline — as two precomputed matrices so the whole chain
+# (power -> mel -> log -> DCT) is again just GEMMs.
+
+NUM_CHANNELS = 23      # Wav2LogSpec_be.c:62
+NUM_CEP_COEFF = 13     # c1..c12 + c0, Wav2LogSpec_be.c:67
+MEL_START_FREQ = 64.0  # Wav2LogSpec_be.c:63-65 (all rates use 64 Hz)
+
+
+def _hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + f / 700.0)
+
+
+def _mel_to_hz(m):
+    return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+
+@functools.lru_cache(maxsize=None)
+def mel_filterbank(n_channels: int = NUM_CHANNELS,
+                   start_freq: float = MEL_START_FREQ,
+                   sample_freq: float = 16000.0,
+                   fft_length: int = FFT_LENGTH) -> np.ndarray:
+    """[NUM_BINS, n_channels] triangular mel filterbank as a dense matrix.
+
+    Reproduces ``InitFFTWindows`` + ``ComputeTriangle`` (``FEfunc.c:472-604``)
+    exactly: band i spans mel fractions i/(C+1) .. (i+2)/(C+1) of
+    [mel(start), mel(fs/2)], edges snapped to FFT bins by round(), lower
+    slope (j+1)/low_len, upper slope (high_len-j)/high_len — applied to the
+    power spectrum by ``power @ mel_filterbank()``.
+    """
+    n_bins = fft_length // 2 + 1
+    start_mel = _hz_to_mel(start_freq)
+    top_mel = _hz_to_mel(sample_freq / 2.0)
+
+    def edge_bin(i):
+        freq = _mel_to_hz(start_mel + i / (n_channels + 1)
+                          * (top_mel - start_mel))
+        return int(fft_length * freq / sample_freq + 0.5)
+
+    starts = [edge_bin(i) for i in range(n_channels)]
+    uppers = [edge_bin(i + 2) for i in range(n_channels)]
+    fb = np.zeros((n_bins, n_channels), dtype=np.float32)
+    for i in range(n_channels):
+        start, upper = starts[i], uppers[i]
+        # low part ends at the NEXT band's start (the previous band's upper
+        # edge for the last channel) -- ComputeTriangle, FEfunc.c:573-604.
+        low_end = starts[i + 1] if i + 1 < n_channels else uppers[i - 1]
+        low_len = low_end - start + 1
+        high_len = (upper - start + 1) - low_len + 1
+        for j in range(low_len):
+            fb[start + j, i] = (j + 1) / low_len
+        for j in range(1, high_len):
+            fb[start + low_len + j - 1, i] = (high_len - j) / high_len
+    return fb
+
+
+@functools.lru_cache(maxsize=None)
+def dct_matrix(n_cep: int = NUM_CEP_COEFF,
+               n_channels: int = NUM_CHANNELS) -> np.ndarray:
+    """[n_channels, n_cep] DCT basis in the reference's output order.
+
+    ``InitDCTMatrix``/``DCT`` (``FEfunc.c:674-739``): columns are c1..c12
+    (cos(pi*i/C*(j+0.5))) followed by c0 (plain sum) LAST.
+    """
+    mx = np.zeros((n_channels, n_cep), dtype=np.float32)
+    j = np.arange(n_channels)
+    for i in range(1, n_cep):
+        mx[:, i - 1] = np.cos(np.pi * i / n_channels * (j + 0.5))
+    mx[:, n_cep - 1] = 1.0
+    return mx
+
+
+@functools.partial(jax.jit, static_argnames=())
+def mfcc_from_frames(frames: jax.Array) -> jax.Array:
+    """float32 frames [T, 512] -> [T, 13] cepstra (c1..c12, c0).
+
+    The dormant reference chain (``Wav2LogSpec_be.c:480-505``): power
+    spectrum -> mel filterbank -> natural log with the e^-50 floor
+    (``ENERGYFLOOR_FB``) -> DCT.  Three chained GEMMs on the MXU.
+    """
+    basis = jnp.asarray(_windowed_dft_basis())
+    spec = jnp.dot(frames.astype(jnp.float32), basis,
+                   preferred_element_type=jnp.float32)
+    re, im = spec[:, :NUM_BINS], spec[:, NUM_BINS:]
+    power = re * re + im * im
+    mel = jnp.dot(power, jnp.asarray(mel_filterbank()),
+                  preferred_element_type=jnp.float32)
+    floor = jnp.float32(np.exp(LOG_FLOOR))
+    logmel = jnp.where(mel < floor, jnp.float32(LOG_FLOOR), jnp.log(mel))
+    return jnp.dot(logmel, jnp.asarray(dct_matrix()),
+                   preferred_element_type=jnp.float32)
+
+
+def wav_to_mfcc(wave: np.ndarray) -> np.ndarray:
+    """Waveform -> [T, 13] MFCC via the dormant ETSI path."""
+    frames = frame_signal(wave)
+    if frames.shape[0] == 0:
+        return np.zeros((0, NUM_CEP_COEFF), dtype=np.float32)
+    return np.asarray(mfcc_from_frames(jnp.asarray(frames)))
+
+
 FRAME_BUCKET = 256  # pad T to a multiple -> bounded set of compiled shapes
 
 
