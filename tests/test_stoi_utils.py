@@ -61,3 +61,27 @@ def test_epoch_logger(tmp_path):
     import json
     rec = json.loads((tmp_path / "metrics.jsonl").read_text())
     assert rec["epoch"] == 1
+
+
+def test_demo_metrics_ml_beats_mmse():
+    """Paper claim on Enh_demos ground truth: ML-GGD >= MMSE (PARITY.md §3)."""
+    import os
+    demos = "/root/reference/Enh_demos"
+    if not os.path.isdir(demos):
+        import pytest
+        pytest.skip("reference demos unavailable")
+    from tpu_se.io import read_wav
+
+    def pick(cond, kind):
+        match = [f for f in os.listdir(demos)
+                 if f.split("_TEST")[0] == f"{cond}_{kind}"]
+        return read_wav(os.path.join(demos, match[0]))[0]
+
+    for cond in ("Volvo_SNR-5", "White_SNR5"):
+        clean = pick(cond, "CLEAN")
+        scores = {}
+        for kind in ("NOISY", "MMSE", "ML"):
+            test = pick(cond, kind)
+            n = min(len(clean), len(test))
+            scores[kind] = stoi(clean[:n], test[:n])
+        assert scores["ML"] > scores["MMSE"] > scores["NOISY"], (cond, scores)
