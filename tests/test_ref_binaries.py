@@ -98,3 +98,57 @@ def test_vocoder_and_metrics_match_reference_binary(ref_bins, tmp_path):
     m = segsnr_lsd_pair(clean, noisy, recon, power)
     assert m["segsnr"] == pytest.approx(ref_segsnr, abs=2e-4)
     assert m["lsd"] == pytest.approx(ref_lsd, abs=2e-4)
+
+
+@pytest.mark.parametrize("khz,sr", [(8, 8000), (11, 11000)])
+def test_lps_extraction_other_rates(ref_bins, tmp_path, khz, sr):
+    """8/11 kHz framing configs (Wav2LogSpec_be.c:340-366) vs the binary."""
+    from tpu_se.dsp import wav_to_lps
+    from tpu_se.io import read_htk, write_raw
+
+    rng = np.random.default_rng(khz)
+    wave = (rng.normal(0, 3000, sr * 2)).clip(-32768, 32767).astype(np.int16)
+    raw = tmp_path / "in.raw"
+    write_raw(raw, wave)
+    out = tmp_path / "ref.lps"
+    subprocess.run([str(ref_bins / "Wav2LPS_be"), "-F", "RAW", "-fs",
+                    str(khz), str(raw), str(out)],
+                   check=True, capture_output=True)
+    ref, hdr = read_htk(out)
+    assert hdr.n_dim == 129
+    ours = wav_to_lps(wave, sample_rate=sr)
+    assert ours.shape == ref.shape
+    d = np.abs(ours - ref)
+    assert d.max() < 5e-3
+    assert d.mean() < 1e-4
+
+
+@pytest.mark.parametrize("khz,sr", [(8, 8000), (11, 11000)])
+def test_vocoder_other_rates(ref_bins, tmp_path, khz, sr):
+    """Multi-hop OLA (11 kHz overlaps 3 frames) vs the reference binary."""
+    from tpu_se.dsp import reconstruct, wav_to_lps
+    from tpu_se.io import write_htk, write_raw
+
+    rng = np.random.default_rng(khz + 100)
+    t = np.arange(sr)
+    clean = (6000 * np.sin(2 * np.pi * 440 * t / sr)
+             + rng.normal(0, 500, sr)).clip(-32768, 32767).astype(np.int16)
+    noisy = (clean + rng.normal(0, 800, clean.shape)
+             ).clip(-32768, 32767).astype(np.int16)
+    enh = wav_to_lps(clean, sample_rate=sr)
+    write_raw(tmp_path / "clean.raw", clean)
+    write_raw(tmp_path / "noisy.raw", noisy)
+    write_htk(tmp_path / "enh.lps", enh, samp_period=160000)
+    out_raw = tmp_path / "out.raw"
+    subprocess.run(
+        [str(ref_bins / "LPS2Wav_be"), str(tmp_path / "clean.raw"),
+         str(tmp_path / "noisy.raw"), str(tmp_path / "enh.lps"),
+         str(tmp_path / "info.txt"), str(out_raw), "-F", "RAW",
+         "-fs", str(khz)],
+        check=True, capture_output=True)
+    ref_wave = np.fromfile(out_raw, dtype="<i2").astype(np.int32)
+    wave, _ = reconstruct(enh, noisy, sample_rate=sr)
+    assert len(wave) == len(ref_wave)
+    d = np.abs(wave.astype(np.int32) - ref_wave)
+    assert d.max() <= 1
+    assert d.mean() < 1e-2

@@ -30,13 +30,17 @@ def cmd_lps_extract(args) -> int:
     for path in wavs:
         if args.format == "RAW":
             wave = read_raw(path, swap=args.swap)
+            sr = args.fs * 1000           # Wav2LogSpec_be.c:344-360
         elif args.format == "HTK":
-            wave, _sr = read_htk_waveform(path)
+            wave, sr = read_htk_waveform(path)
         else:   # WAV: RIFF or NIST sniffed by magic
-            wave, _sr = read_wav(path)
-        lps = wav_to_lps(wave, win_size=args.win)
+            wave, sr = read_wav(path)
+        lps = wav_to_lps(wave, win_size=args.win, sample_rate=sr)
         out = args.out if args.out and len(wavs) == 1 else (
             path.rsplit(".", 1)[0] + ".lps")
+        # sampPeriod is 160000 for every rate, like the reference
+        # (Wav2LogSpec_be.c:371 hardcodes it; the per-rate variant is
+        # commented out there).
         write_htk(out, lps, samp_period=160000 * (2 * args.win + 1))
         print(f"{path}: {lps.shape[0]} frames -> {out}")
     return 0
@@ -149,6 +153,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--scp", help="list file of wavs")
     s.add_argument("-F", "--format", default="WAV",
                    choices=["WAV", "RAW", "HTK", "NIST"])
+    s.add_argument("-fs", type=int, default=16, choices=[8, 11, 16],
+                   help="sampling rate in kHz for RAW inputs "
+                        "(Wav2LPS_be -fs)")
     s.add_argument("--swap", action="store_true")
     s.add_argument("--win", type=int, default=0,
                    help="stack 2*win+1 frames per row (Wav2LPS_be -win)")

@@ -12,6 +12,7 @@ from tpu_se.dsp.analysis import (
     FRAME_LENGTH, FRAME_SHIFT, FFT_LENGTH, NUM_BINS, LOG_FLOOR,
     hamming_window, num_frames, frame_signal, lps_from_frames, wav_to_lps,
     mel_filterbank, dct_matrix, mfcc_from_frames, wav_to_mfcc,
+    RATE_CONFIGS, rate_config,
 )
 from tpu_se.dsp.synthesis import reconstruct, lps_to_wav
 from tpu_se.dsp.metrics import segsnr, lsd, power_spectra
@@ -21,5 +22,5 @@ __all__ = [
     "hamming_window", "num_frames", "frame_signal", "lps_from_frames",
     "wav_to_lps", "reconstruct", "lps_to_wav", "segsnr", "lsd",
     "power_spectra", "mel_filterbank", "dct_matrix", "mfcc_from_frames",
-    "wav_to_mfcc",
+    "wav_to_mfcc", "RATE_CONFIGS", "rate_config",
 ]

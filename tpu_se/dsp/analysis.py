@@ -35,6 +35,28 @@ FFT_LENGTH = 512
 NUM_BINS = FFT_LENGTH // 2 + 1  # 257
 LOG_FLOOR = -50.0
 
+# Per-rate framing parameters (Wav2LogSpec_be.c:37-59): the pipeline runs at
+# 16 kHz; 8 and 11.025 kHz are supported by the same CLI like the reference.
+# sample_rate -> (frame_length, frame_shift, fft_length)
+RATE_CONFIGS = {
+    8000: (256, 128, 256),
+    11000: (256, 110, 256),
+    16000: (512, 256, 512),
+}
+
+
+def rate_config(sample_rate: int) -> tuple[int, int, int]:
+    """(frame_length, frame_shift, fft_length) for a sampling rate.
+
+    11025 Hz maps to the 11 kHz config like the reference's
+    ``10*floor(1e6/sampPeriod)`` header math (``Wav2LogSpec_be.c:333``).
+    """
+    sr = 11000 if sample_rate == 11025 else sample_rate
+    if sr not in RATE_CONFIGS:
+        raise ValueError(f"unsupported sampling rate {sample_rate}; "
+                         f"supported: {sorted(RATE_CONFIGS)} (+11025)")
+    return RATE_CONFIGS[sr]
+
 
 @functools.lru_cache(maxsize=None)
 def hamming_window(length: int = FRAME_LENGTH) -> np.ndarray:
@@ -71,20 +93,26 @@ def _windowed_dft_basis(frame_length: int = FRAME_LENGTH,
     return basis.astype(np.float32)
 
 
-def num_frames(n_samples: int) -> int:
-    """Frames emitted by the reference front-end for an n-sample waveform."""
-    return max(0, n_samples // FRAME_SHIFT - 1)
+def num_frames(n_samples: int, frame_length: int = FRAME_LENGTH,
+               frame_shift: int = FRAME_SHIFT) -> int:
+    """Frames emitted by the reference front-end for an n-sample waveform.
+
+    The loop preloads ``len - shift`` samples and emits one frame per full
+    ``shift``-sample read (``Wav2LogSpec_be.c:401-416``).
+    """
+    return max(0, (n_samples - (frame_length - frame_shift)) // frame_shift)
 
 
-def frame_signal(wave: np.ndarray) -> np.ndarray:
-    """int16/float waveform [N] -> float32 frames [T, 512] (zero-copy view)."""
+def frame_signal(wave: np.ndarray, frame_length: int = FRAME_LENGTH,
+                 frame_shift: int = FRAME_SHIFT) -> np.ndarray:
+    """int16/float waveform [N] -> float32 frames [T, len] (zero-copy view)."""
     wave = np.asarray(wave)
-    t = num_frames(len(wave))
+    t = num_frames(len(wave), frame_length, frame_shift)
     if t == 0:
-        return np.zeros((0, FRAME_LENGTH), dtype=np.float32)
+        return np.zeros((0, frame_length), dtype=np.float32)
     strided = np.lib.stride_tricks.sliding_window_view(
-        wave[: (t - 1) * FRAME_SHIFT + FRAME_LENGTH], FRAME_LENGTH
-    )[::FRAME_SHIFT]
+        wave[: (t - 1) * frame_shift + frame_length], frame_length
+    )[::frame_shift]
     return strided.astype(np.float32)
 
 
@@ -96,14 +124,17 @@ def lps_from_frames(frames: jax.Array, method: str = "matmul") -> jax.Array:
     ``method='fft'``: jnp.fft.rfft — identical math, used as a cross-check.
     """
     frames = frames.astype(jnp.float32)
+    frame_length = frames.shape[1]
+    fft_length = frame_length       # all rate configs use FFT == frame length
+    n_bins = fft_length // 2 + 1
     if method == "matmul":
-        basis = jnp.asarray(_windowed_dft_basis())
+        basis = jnp.asarray(_windowed_dft_basis(frame_length, fft_length))
         spec = jnp.dot(frames, basis, preferred_element_type=jnp.float32)
-        re, im = spec[:, :NUM_BINS], spec[:, NUM_BINS:]
+        re, im = spec[:, :n_bins], spec[:, n_bins:]
         power = re * re + im * im
     elif method == "fft":
-        win = jnp.asarray(hamming_window())
-        spec = jnp.fft.rfft(frames * win[None, :], n=FFT_LENGTH, axis=-1)
+        win = jnp.asarray(hamming_window(frame_length))
+        spec = jnp.fft.rfft(frames * win[None, :], n=fft_length, axis=-1)
         power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     else:
         raise ValueError(f"unknown method {method!r}")
@@ -221,7 +252,7 @@ FRAME_BUCKET = 256  # pad T to a multiple -> bounded set of compiled shapes
 
 
 def wav_to_lps(wave: np.ndarray, method: str = "matmul",
-               win_size: int = 0) -> np.ndarray:
+               win_size: int = 0, sample_rate: int = 16000) -> np.ndarray:
     """Waveform (int16 samples) -> float32 LPS.
 
     End-to-end equivalent of the ``Wav2LPS_be -F RAW -fs 16`` CLI
@@ -233,20 +264,26 @@ def wav_to_lps(wave: np.ndarray, method: str = "matmul",
     2*win_size+1 consecutive LPS frames (the delayed ring buffer,
     ``Wav2LogSpec_be.c:513-542``) and the frame count drops by 2*win_size
     (``:575``).  The whole pipeline uses win_size=0 (one frame per row).
+
+    ``sample_rate`` selects the reference's per-rate framing
+    (``Wav2LogSpec_be.c:340-366``): 16 kHz -> 512/256 (257 bins, the
+    pipeline config), 8 kHz -> 256/128 (129 bins), 11/11.025 kHz -> 256/110.
     """
-    frames = frame_signal(wave)
+    frame_length, frame_shift, fft_length = rate_config(sample_rate)
+    n_bins = fft_length // 2 + 1
+    frames = frame_signal(wave, frame_length, frame_shift)
     t = frames.shape[0]
     if t == 0:
-        return np.zeros((0, NUM_BINS * (2 * win_size + 1)), dtype=np.float32)
+        return np.zeros((0, n_bins * (2 * win_size + 1)), dtype=np.float32)
     t_pad = -(-t // FRAME_BUCKET) * FRAME_BUCKET
     if t_pad != t:
         frames = np.concatenate(
-            [frames, np.zeros((t_pad - t, FRAME_LENGTH), dtype=np.float32)])
+            [frames, np.zeros((t_pad - t, frame_length), dtype=np.float32)])
     out = np.asarray(lps_from_frames(jnp.asarray(frames), method=method))[:t]
     if win_size == 0:
         return out
     stack = 2 * win_size + 1
     if t < stack:
-        return np.zeros((0, NUM_BINS * stack), dtype=np.float32)
+        return np.zeros((0, n_bins * stack), dtype=np.float32)
     cols = [out[i: t - stack + 1 + i] for i in range(stack)]
     return np.concatenate(cols, axis=1)

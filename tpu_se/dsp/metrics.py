@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from tpu_se.dsp.analysis import FFT_LENGTH, frame_signal, hamming_window
+from tpu_se.dsp.analysis import frame_signal, hamming_window, rate_config
 
 LOW_SEGSNR = -20.0
 HIGH_SEGSNR = 30.0
@@ -42,10 +42,11 @@ def segsnr(clean_frames: np.ndarray, test_frames: np.ndarray) -> float:
 
 
 def power_spectra(frames: np.ndarray) -> np.ndarray:
-    """Raw frames [T,512] -> Hamming-windowed power spectra [T,257]."""
-    win = hamming_window().astype(np.float64)
+    """Raw frames [T,len] -> Hamming-windowed power spectra [T,len/2+1]."""
+    frame_length = frames.shape[1]
+    win = hamming_window(frame_length).astype(np.float64)
     spec = np.fft.rfft(np.asarray(frames, dtype=np.float64) * win[None, :],
-                       n=FFT_LENGTH, axis=-1)
+                       n=frame_length, axis=-1)
     return (spec.real ** 2 + spec.imag ** 2).astype(np.float32)
 
 
@@ -66,8 +67,8 @@ def lsd(clean_power: np.ndarray, test_power: np.ndarray) -> float:
 
 
 def segsnr_lsd_pair(clean_wave: np.ndarray, noisy_wave: np.ndarray,
-                    recon_frames: np.ndarray, enhanced_power: np.ndarray
-                    ) -> dict:
+                    recon_frames: np.ndarray, enhanced_power: np.ndarray,
+                    sample_rate: int = 16000) -> dict:
     """All four decode metrics for one utterance, as ``info.txt`` reports them.
 
     ``recon_frames`` is the de-windowed per-frame reconstruction from
@@ -75,8 +76,9 @@ def segsnr_lsd_pair(clean_wave: np.ndarray, noisy_wave: np.ndarray,
     (floored) enhanced LPS [T,257] (``LogSpec2Wav.c:565-571``, the
     ``denoise_spec_vectors`` are the exp'd features, not a re-analysis).
     """
-    clean_frames = frame_signal(clean_wave)
-    noisy_frames = frame_signal(noisy_wave)
+    frame_length, frame_shift, _ = rate_config(sample_rate)
+    clean_frames = frame_signal(clean_wave, frame_length, frame_shift)
+    noisy_frames = frame_signal(noisy_wave, frame_length, frame_shift)
     t = min(len(clean_frames), len(noisy_frames), len(recon_frames))
     clean_frames, noisy_frames = clean_frames[:t], noisy_frames[:t]
     p_clean = power_spectra(clean_frames)

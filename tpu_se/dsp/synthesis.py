@@ -20,80 +20,93 @@ utterance length reuses a bounded set of compiled programs.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from tpu_se.dsp.analysis import (
-    FFT_LENGTH, FRAME_BUCKET, FRAME_LENGTH, FRAME_SHIFT, LOG_FLOOR, NUM_BINS,
-    frame_signal, hamming_window,
+    FRAME_BUCKET, LOG_FLOOR, frame_signal, hamming_window, rate_config,
 )
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("frame_shift",))
 def _synth_and_ola(lps_enh: jax.Array, noisy_frames: jax.Array,
-                   valid: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Padded [T,257] LPS + [T,512] noisy frames + [T] 0/1 mask
-    -> (OLA waveform [(T+1)*256], de-windowed recon frames [T,512]).
+                   valid: jax.Array, frame_shift: int = 256
+                   ) -> tuple[jax.Array, jax.Array]:
+    """Padded [T,bins] LPS + [T,len] noisy frames + [T] 0/1 mask
+    -> (OLA waveform, de-windowed recon frames [T,len]).
 
     Padded rows contribute nothing: their synthesis frames and their
-    squared-window weights are masked out of both OLA accumulators.
+    squared-window weights are masked out of both OLA accumulators.  The
+    OLA is a vectorized segment sum over ceil(len/shift) shift-sized hops,
+    so any (len, shift) rate config works (16 kHz: 2 hops; 11 kHz: 3).
     """
-    win = jnp.asarray(hamming_window())
-    spec = jnp.fft.rfft(noisy_frames * win[None, :], n=FFT_LENGTH, axis=-1)
+    frame_length = noisy_frames.shape[1]
+    fft_length = frame_length
+    win = jnp.asarray(hamming_window(frame_length))
+    spec = jnp.fft.rfft(noisy_frames * win[None, :], n=fft_length, axis=-1)
     power = jnp.where(lps_enh < LOG_FLOOR, jnp.float32(np.exp(LOG_FLOOR)),
                       jnp.exp(lps_enh))
     mag = jnp.abs(spec)
     scale = jnp.where(mag > 0.0, jnp.sqrt(power) / jnp.maximum(mag, 1e-30),
                       0.0)
-    synth = jnp.fft.irfft(spec * scale, n=FFT_LENGTH, axis=-1)
+    synth = jnp.fft.irfft(spec * scale, n=fft_length, axis=-1)
 
     # OLA of the re-windowed frames with per-frame validity weights.
-    t = synth.shape[0]
+    n_hops = -(-frame_length // frame_shift)
+    pad_cols = n_hops * frame_shift - frame_length
     sw = synth * win[None, :] * valid[:, None]
-    w2 = win * win
-    first, second = sw[:, :FRAME_SHIFT], sw[:, FRAME_SHIFT:]
-    acc = jnp.concatenate([first[:1], first[1:] + second[:-1], second[-1:]]
-                          ).reshape(-1)
-    d_first = w2[None, :FRAME_SHIFT] * valid[:, None]
-    d_second = w2[None, FRAME_SHIFT:] * valid[:, None]
-    denom = jnp.concatenate(
-        [d_first[:1], d_first[1:] + d_second[:-1], d_second[-1:]]).reshape(-1)
-    wave = acc / jnp.maximum(denom, 1e-20)
+    w2 = (win * win)[None, :] * valid[:, None]
+
+    def segment_sum(rows):
+        rows = jnp.pad(rows, ((0, 0), (0, pad_cols)))
+        t = rows.shape[0]
+        chunks = rows.reshape(t, n_hops, frame_shift)
+        acc = jnp.zeros((t + n_hops - 1, frame_shift), rows.dtype)
+        for j in range(n_hops):
+            acc = acc + jnp.pad(chunks[:, j], ((j, n_hops - 1 - j), (0, 0)))
+        return acc.reshape(-1)
+
+    wave = segment_sum(sw) / jnp.maximum(segment_sum(w2), 1e-20)
     recon_dewin = synth / win[None, :]
     return wave, recon_dewin
 
 
-def reconstruct(lps_enh: np.ndarray, noisy_wave: np.ndarray
-                ) -> tuple[np.ndarray, np.ndarray]:
-    """Enhanced LPS [T,257] + noisy waveform -> (int16 wave, recon frames).
+def reconstruct(lps_enh: np.ndarray, noisy_wave: np.ndarray,
+                sample_rate: int = 16000) -> tuple[np.ndarray, np.ndarray]:
+    """Enhanced LPS [T,bins] + noisy waveform -> (int16 wave, recon frames).
 
-    ``recon frames`` [T,512] is the de-windowed per-frame reconstruction the
+    ``recon frames`` [T,len] is the de-windowed per-frame reconstruction the
     reference uses for SegSNR (``DeWindow``, ``LogSpec2Wav.c:693-698``).
-    The output waveform has ``T*256 + 256`` samples (``:798``) and is
-    truncated toward zero like the C ``(short)`` cast.
+    The output waveform has ``T*shift + (len-shift)`` samples (``:798``) and
+    is truncated toward zero like the C ``(short)`` cast.
     """
-    noisy_frames = frame_signal(noisy_wave)
+    frame_length, frame_shift, fft_length = rate_config(sample_rate)
+    n_bins = fft_length // 2 + 1
+    noisy_frames = frame_signal(noisy_wave, frame_length, frame_shift)
     t = noisy_frames.shape[0]
     if lps_enh.shape[0] != t:
         raise ValueError(
             f"LPS frames ({lps_enh.shape[0]}) != noisy frames ({t})")
-    if lps_enh.shape[1] != NUM_BINS:
-        raise ValueError(f"expected {NUM_BINS} bins, got {lps_enh.shape[1]}")
+    if lps_enh.shape[1] != n_bins:
+        raise ValueError(f"expected {n_bins} bins, got {lps_enh.shape[1]}")
     t_pad = -(-t // FRAME_BUCKET) * FRAME_BUCKET
-    lps_p = np.full((t_pad, NUM_BINS), LOG_FLOOR, dtype=np.float32)
+    lps_p = np.full((t_pad, n_bins), LOG_FLOOR, dtype=np.float32)
     lps_p[:t] = lps_enh
-    frames_p = np.zeros((t_pad, FRAME_LENGTH), dtype=np.float32)
+    frames_p = np.zeros((t_pad, frame_length), dtype=np.float32)
     frames_p[:t] = noisy_frames
     valid = np.zeros(t_pad, dtype=np.float32)
     valid[:t] = 1.0
     wave, recon = _synth_and_ola(jnp.asarray(lps_p), jnp.asarray(frames_p),
-                                 jnp.asarray(valid))
-    wave = np.asarray(wave)[: t * FRAME_SHIFT + FRAME_SHIFT]
+                                 jnp.asarray(valid), frame_shift)
+    wave = np.asarray(wave)[: t * frame_shift + (frame_length - frame_shift)]
     wave_i16 = np.trunc(wave).astype(np.int16)
     return wave_i16, np.asarray(recon)[:t]
 
 
-def lps_to_wav(lps_enh: np.ndarray, noisy_wave: np.ndarray) -> np.ndarray:
+def lps_to_wav(lps_enh: np.ndarray, noisy_wave: np.ndarray,
+               sample_rate: int = 16000) -> np.ndarray:
     """Convenience wrapper returning only the int16 waveform."""
-    return reconstruct(lps_enh, noisy_wave)[0]
+    return reconstruct(lps_enh, noisy_wave, sample_rate)[0]
