@@ -36,9 +36,62 @@ def test_stoi_degrades_with_noise():
     assert stoi(clean, noisy, 16000) < stoi(clean, clean, 16000)
 
 
-def test_pesq_gated():
-    x = np.zeros(16000, dtype=np.int16)
-    assert pesq_score(x, x) is None or isinstance(pesq_score(x, x), float)
+def _speechlike(n=32000, fs=16000, seed=0):
+    """Amplitude-modulated multi-tone burst signal, speech-shaped enough
+    for the level/voice-activity gates in PESQ."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / fs
+    x = sum(np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28))
+            * a for f, a in ((220, 1.0), (440, 0.7), (880, 0.4),
+                             (1760, 0.2), (3000, 0.1)))
+    envelope = np.clip(np.sin(2 * np.pi * 2.5 * t), 0, None)
+    return (x * envelope * 8000).astype(np.float64)
+
+
+def test_pesq_score_always_available():
+    # gated on the ITU package but falls back to the native P.862 impl
+    x = _speechlike()
+    s = pesq_score(x, x)
+    assert isinstance(s, float) and s > 4.3
+
+
+def test_pesq_identity_is_max():
+    from tpu_se.infer.pesq import pesq
+    x = _speechlike()
+    assert pesq(x, x, return_raw=True) == 4.5
+    assert pesq(x, x) > 4.6
+
+
+def test_pesq_monotone_in_snr():
+    from tpu_se.infer.pesq import pesq
+    x = _speechlike()
+    rng = np.random.default_rng(1)
+    noise = rng.normal(size=len(x))
+    noise /= np.sqrt((noise ** 2).mean() / (x ** 2).mean())
+    scores = [pesq(x, x + noise * 10 ** (-snr / 20.0))
+              for snr in (30, 20, 10, 0)]
+    assert all(a > b for a, b in zip(scores, scores[1:])), scores
+    # the burst signal is half silence, so even 30 dB SNR noise is plainly
+    # audible; require a healthy spread rather than absolute anchors
+    assert scores[0] - scores[-1] > 0.5, scores
+    assert scores[-1] < 2.0, scores
+
+
+def test_pesq_narrowband_mode():
+    from tpu_se.infer.pesq import pesq
+    x = _speechlike(n=16000, fs=8000)
+    rng = np.random.default_rng(2)
+    noisy = x + rng.normal(scale=x.std() / 2, size=len(x))
+    assert pesq(x, x, fs=8000) > 4.4
+    assert pesq(x, noisy, fs=8000) < pesq(x, x, fs=8000)
+
+
+def test_pesq_alignment_recovers_constant_delay():
+    from tpu_se.infer.pesq import pesq
+    x = _speechlike()
+    delayed = np.concatenate([np.zeros(1600), x])[:len(x)]
+    # a 100 ms delay must not register as a huge disturbance
+    assert pesq(x, delayed) > 3.5
 
 
 def test_step_timer():

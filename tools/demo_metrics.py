@@ -4,8 +4,9 @@
 The reference repo's only quality evidence is 56 demo wavs:
 {CLEAN, NOISY, MMSE, ML} x 14 noise/SNR conditions (``README.md:116-237``).
 This tool scores them with tpu_se's own metric implementations (SegSNR,
-LSD, STOI — ``tpu_se.dsp.metrics``, ``tpu_se.infer.stoi``), reproducing the
-paper's qualitative claim (ML-GGD beta=0.9 >= MMSE) quantitatively.
+LSD, STOI, native P.862 PESQ — ``tpu_se.dsp.metrics``, ``tpu_se.infer``),
+reproducing the paper's qualitative claim (ML-GGD beta=0.9 >= MMSE)
+quantitatively.
 
 Usage: python tools/demo_metrics.py [--demos DIR] [--markdown]
 """
@@ -24,6 +25,7 @@ def score(clean, test, fs=16000):
     from tpu_se.dsp import wav_to_lps, frame_signal
     from tpu_se.dsp.metrics import segsnr, lsd, power_spectra
     from tpu_se.infer.stoi import stoi
+    from tpu_se.infer.pesq import pesq
 
     n = min(len(clean), len(test))
     clean, test = clean[:n], test[:n]
@@ -32,6 +34,7 @@ def score(clean, test, fs=16000):
         "segsnr": segsnr(cf, tf),
         "lsd": lsd(power_spectra(cf), power_spectra(tf)),
         "stoi": stoi(clean, test, fs),
+        "pesq": pesq(clean, test, fs),
     }
 
 
@@ -59,12 +62,13 @@ def main() -> int:
         rows.append(row)
 
     hdr = (f"{'condition':26s} | {'SegSNR n/M/ML':>20s} | "
-           f"{'LSD n/M/ML':>17s} | {'STOI n/M/ML':>17s}")
+           f"{'LSD n/M/ML':>17s} | {'STOI n/M/ML':>17s} | "
+           f"{'PESQ n/M/ML':>15s}")
     sep = "-" * len(hdr)
     if args.markdown:
         print("| condition | SegSNR noisy/MMSE/ML | LSD noisy/MMSE/ML "
-              "| STOI noisy/MMSE/ML |")
-        print("|---|---|---|---|")
+              "| STOI noisy/MMSE/ML | PESQ noisy/MMSE/ML |")
+        print("|---|---|---|---|---|")
     else:
         print(hdr)
         print(sep)
@@ -72,27 +76,29 @@ def main() -> int:
     for row in rows:
         c = row["condition"]
         vals = {m: [row[k][m] for k in ("NOISY", "MMSE", "ML")]
-                for m in ("segsnr", "lsd", "stoi")}
+                for m in ("segsnr", "lsd", "stoi", "pesq")}
         for m in vals:
             for k, v in zip(("NOISY", "MMSE", "ML"), vals[m]):
                 agg[m][k] += v / len(rows)
         fmt = (lambda xs, p=2: "/".join(f"{x:.{p}f}" for x in xs))
         if args.markdown:
             print(f"| {c} | {fmt(vals['segsnr'])} | {fmt(vals['lsd'])} "
-                  f"| {fmt(vals['stoi'], 3)} |")
+                  f"| {fmt(vals['stoi'], 3)} | {fmt(vals['pesq'])} |")
         else:
             print(f"{c:26s} | {fmt(vals['segsnr']):>20s} | "
-                  f"{fmt(vals['lsd']):>17s} | {fmt(vals['stoi'], 3):>17s}")
+                  f"{fmt(vals['lsd']):>17s} | {fmt(vals['stoi'], 3):>17s} | "
+                  f"{fmt(vals['pesq']):>15s}")
     mean = {m: [agg[m][k] for k in ("NOISY", "MMSE", "ML")]
             for m in agg}
     fmt = (lambda xs, p=2: "/".join(f"{x:.{p}f}" for x in xs))
     if args.markdown:
         print(f"| **mean** | {fmt(mean['segsnr'])} | {fmt(mean['lsd'])} "
-              f"| {fmt(mean['stoi'], 3)} |")
+              f"| {fmt(mean['stoi'], 3)} | {fmt(mean['pesq'])} |")
     else:
         print(sep)
         print(f"{'mean':26s} | {fmt(mean['segsnr']):>20s} | "
-              f"{fmt(mean['lsd']):>17s} | {fmt(mean['stoi'], 3):>17s}")
+              f"{fmt(mean['lsd']):>17s} | {fmt(mean['stoi'], 3):>17s} | "
+              f"{fmt(mean['pesq']):>15s}")
     return 0
 
 

@@ -1,3 +1,6 @@
 from tpu_se.infer.decode import Enhancer, enhance_utterance, decode_files
+from tpu_se.infer.pesq import pesq
+from tpu_se.infer.stoi import stoi, pesq_score
 
-__all__ = ["Enhancer", "enhance_utterance", "decode_files"]
+__all__ = ["Enhancer", "enhance_utterance", "decode_files",
+           "pesq", "stoi", "pesq_score"]

@@ -118,10 +118,17 @@ def stoi(clean: np.ndarray, degraded: np.ndarray, fs: int = 16000) -> float:
 
 def pesq_score(clean: np.ndarray, degraded: np.ndarray,
                fs: int = 16000) -> float | None:
-    """PESQ via the optional ``pesq`` package; None when unavailable."""
+    """PESQ MOS-LQO.
+
+    Prefers the ITU-certified optional ``pesq`` package; falls back to the
+    native P.862 implementation in :mod:`tpu_se.infer.pesq` (same algorithm
+    structure, derived tables — see its module docstring).
+    """
     try:
         from pesq import pesq as _pesq
+        return float(_pesq(fs, np.asarray(clean, dtype=np.float64),
+                           np.asarray(degraded, dtype=np.float64),
+                           "wb" if fs == 16000 else "nb"))
     except ImportError:
-        return None
-    return float(_pesq(fs, np.asarray(clean, dtype=np.float64),
-                       np.asarray(degraded, dtype=np.float64), "wb"))
+        from tpu_se.infer.pesq import pesq as _native
+        return float(_native(clean, degraded, fs))
