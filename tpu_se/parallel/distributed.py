@@ -14,12 +14,19 @@ import jax
 
 def initialize_distributed(coordinator_address: str | None = None,
                            num_processes: int | None = None,
-                           process_id: int | None = None) -> dict:
+                           process_id: int | None = None,
+                           cpu_collectives: str | None = None) -> dict:
     """Initialize jax.distributed when running multi-host; no-op otherwise.
 
+    On TPU pods the collectives ride ICI automatically; pass
+    ``cpu_collectives="gloo"`` for multi-process CPU runs (CI / the
+    multi-host equivalence test) so the CPU backend joins the cluster.
     Returns a summary dict (process index/count, local/global devices).
     """
     if coordinator_address is not None:
+        if cpu_collectives is not None:
+            jax.config.update("jax_cpu_collectives_implementation",
+                              cpu_collectives)
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
