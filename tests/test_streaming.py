@@ -1,0 +1,139 @@
+"""Streaming enhancement: batch parity, edge semantics, multi-stream."""
+
+import numpy as np
+import pytest
+
+from tpu_se.io import read_norm, read_wav, write_wts
+from tpu_se.io.norm import write_norm
+from tpu_se.models import init_params, params_to_wts
+
+NOISY_DEMO = "Enh_demos/F-16Cockpit_SNR10_NOISY_TEST_DR1_MWBT0_SX23.wav"
+
+
+@pytest.fixture(scope="module")
+def small_model(tmp_path_factory, reference_dir):
+    d = tmp_path_factory.mktemp("stream_model")
+    params = init_params(7, (1799, 64, 64, 257))
+    wts = str(d / "m.wts")
+    write_wts(wts, params_to_wts(params))
+    mean, inv_std = read_norm(reference_dir / "tools_pfile/train_noisy.norm",
+                              257)
+    norm = str(d / "m.norm")
+    write_norm(norm, mean, inv_std)
+    return wts, norm
+
+
+def test_stream_matches_batch(reference_dir, small_model):
+    """feed()+flush() over random-sized chunks == the batch Enhancer,
+    to 1 int16 LSB (fp reassociation across GEMM shapes)."""
+    from tpu_se.infer import Enhancer, StreamingEnhancer
+
+    wts, norm = small_model
+    noisy, _ = read_wav(reference_dir / NOISY_DEMO)
+    batch = Enhancer(wts, norm).enhance(noisy)[0].astype(np.int32)
+
+    s = StreamingEnhancer(wts, norm)
+    rng = np.random.default_rng(0)
+    pieces, i = [], 0
+    while i < len(noisy):
+        n = int(rng.integers(1, 2000))
+        pieces.append(s.feed(noisy[i:i + n]))
+        i += n
+    pieces.append(s.flush())
+    stream = np.concatenate(pieces).astype(np.int32)
+
+    assert stream.shape == batch.shape
+    diff = np.abs(stream - batch)
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.02
+
+
+def test_enhance_lps_replicates_true_edges(reference_dir, small_model):
+    """Regression: the device splice must clip at the TRUE frame count
+    (frame_expand.m edge replication), not at the pad-bucket boundary."""
+    import jax.numpy as jnp
+
+    from tpu_se.data.splice import splice_replicated
+    from tpu_se.infer import Enhancer
+    from tpu_se.models import forward
+
+    wts, norm = small_model
+    enh = Enhancer(wts, norm)
+    rng = np.random.default_rng(1)
+    t = 197  # deliberately not a multiple of DECODE_PAD_BUCKET
+    lps = rng.normal(size=(t, 257)).astype(np.float32)
+
+    got = enh.enhance_lps(lps)
+
+    mean = np.asarray(enh.mean)
+    inv_std = np.asarray(enh.inv_std)
+    normed = (lps - mean) * inv_std
+    x = splice_replicated(normed, context=7)
+    out = np.asarray(forward(enh.params, jnp.asarray(x)))
+    want = out / inv_std + mean
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_multistream_push_equals_single(reference_dir, small_model):
+    """S batched streams produce exactly what S separate streams produce."""
+    from tpu_se.infer import StreamingEnhancer
+
+    wts, norm = small_model
+    noisy, _ = read_wav(reference_dir / NOISY_DEMO)
+    shift = 256
+    n_hops = 24
+    sig = np.stack([noisy[:n_hops * shift],
+                    noisy[1000:1000 + n_hops * shift],
+                    noisy[::-1][:n_hops * shift]]).astype(np.float32)
+
+    multi = StreamingEnhancer(wts, norm, n_streams=3)
+    outs_multi = []
+    for h in range(n_hops):
+        out = multi.push(sig[:, h * shift:(h + 1) * shift])
+        if out is not None:
+            outs_multi.append(out)
+    outs_multi.extend(multi.flush_hops())
+    multi_wave = np.concatenate(outs_multi, axis=1)
+
+    for s_idx in range(3):
+        single = StreamingEnhancer(wts, norm)
+        outs = []
+        for h in range(n_hops):
+            out = single.push(sig[s_idx:s_idx + 1,
+                                  h * shift:(h + 1) * shift])
+            if out is not None:
+                outs.append(out[0])
+        outs.extend(o[0] for o in single.flush_hops())
+        # fp reassociation across GEMM batch shapes: sub-LSB on int16 scale
+        np.testing.assert_allclose(np.concatenate(outs),
+                                   multi_wave[s_idx], rtol=1e-4, atol=0.5)
+
+
+def test_warmup_and_latency_accounting(small_model):
+    """push() returns None exactly warmup_hops-1 times, then hops forever."""
+    from tpu_se.infer import StreamingEnhancer
+
+    wts, norm = small_model
+    s = StreamingEnhancer(wts, norm)
+    assert s.latency_samples == 3 * 256 + 512
+    rng = np.random.default_rng(2)
+    outs = [s.push(rng.normal(size=(1, 256)).astype(np.float32) * 100)
+            for _ in range(s.warmup_hops + 3)]
+    n_none = sum(o is None for o in outs)
+    assert n_none == s.warmup_hops - 1
+    assert all(o is not None for o in outs[n_none:])
+    assert outs[-1].shape == (1, 256)
+
+
+def test_short_utterance_stream(reference_dir, small_model):
+    """An utterance shorter than the context window still matches batch."""
+    from tpu_se.infer import Enhancer, StreamingEnhancer
+
+    wts, norm = small_model
+    noisy, _ = read_wav(reference_dir / NOISY_DEMO)
+    short = noisy[: 256 * 5 + 128]  # 4 frames + dropped partial hop
+    batch = Enhancer(wts, norm).enhance(short)[0].astype(np.int32)
+    s = StreamingEnhancer(wts, norm)
+    stream = np.concatenate([s.feed(short), s.flush()]).astype(np.int32)
+    assert stream.shape == batch.shape
+    assert np.abs(stream - batch).max() <= 1

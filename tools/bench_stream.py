@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Serving benchmark: streaming-enhancement latency and multi-channel
+throughput on the current backend.
+
+Measures the jitted hop step (``tpu_se/infer/streaming.py``) end to end
+(host hop in -> enhanced hop out):
+
+- S=1: per-hop wall latency vs the 16 ms real-time budget (one 256-sample
+  hop at 16 kHz).
+- S=128: batched-channel throughput -> how many concurrent real-time
+  channels one chip sustains.
+
+Usage: timeout 590 python tools/bench_stream.py [--streams N] [--model m.wts
+       --norm m.norm]  (defaults: flagship-size random model)
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, nargs="*", default=[1, 8, 128])
+    ap.add_argument("--model")
+    ap.add_argument("--norm")
+    ap.add_argument("--hops", type=int, default=200)
+    args = ap.parse_args()
+
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from tpu_se.infer import StreamingEnhancer
+    from tpu_se.io import write_wts
+    from tpu_se.io.norm import write_norm
+    from tpu_se.models import DEFAULT_LAYERSIZES, init_params, params_to_wts
+
+    if args.model:
+        wts, norm = args.model, args.norm
+    else:
+        d = tempfile.mkdtemp()
+        wts = os.path.join(d, "m.wts")
+        write_wts(wts, params_to_wts(init_params(1, DEFAULT_LAYERSIZES)))
+        norm = os.path.join(d, "m.norm")
+        rng = np.random.default_rng(0)
+        write_norm(norm, rng.normal(size=257).astype(np.float32),
+                   (1.0 / (1.0 + rng.random(257))).astype(np.float32))
+
+    platform = jax.devices()[0].platform
+    shift = 256
+    sr = 16000.0
+    hop_budget_ms = shift / sr * 1e3
+
+    print(f"# platform={platform} hop={shift} samples "
+          f"({hop_budget_ms:.0f} ms real-time budget)")
+    for s_count in args.streams:
+        enh = StreamingEnhancer(wts, norm, n_streams=s_count)
+        rng = np.random.default_rng(1)
+        hop = (rng.normal(size=(s_count, shift)) * 1000).astype(np.float32)
+        # Warm-up: compile + fill the pipeline.
+        for _ in range(enh.warmup_hops + 4):
+            enh.push(hop)
+        lat = []
+        t_all0 = time.perf_counter()
+        for _ in range(args.hops):
+            t0 = time.perf_counter()
+            out = enh.push(hop)
+            _ = float(out[0, 0])  # host sync: the sample left the device
+            lat.append(time.perf_counter() - t0)
+        t_all = time.perf_counter() - t_all0
+        lat_ms = np.array(lat) * 1e3
+        frames_s = args.hops * s_count / t_all
+        audio_s = frames_s * shift / sr
+        print(f"S={s_count:4d}: hop latency p50={np.percentile(lat_ms, 50):.2f} "
+              f"p99={np.percentile(lat_ms, 99):.2f} ms "
+              f"(budget {hop_budget_ms:.0f} ms) | {frames_s:,.0f} hops/s = "
+              f"{audio_s:,.0f}x real-time channels")
+    print(f"# algorithmic latency: {enh.latency_samples} samples = "
+          f"{enh.latency_samples / sr * 1e3:.0f} ms")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -13,6 +13,7 @@ Commands (reference equivalents in parentheses):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -135,10 +136,31 @@ def cmd_train(args) -> int:
 
 
 def cmd_decode(args) -> int:
-    from tpu_se.infer import decode_files
-
     wavs = _read_scp(args.scp) if args.scp else args.wav
     cleans = _read_scp(args.clean_scp) if args.clean_scp else None
+    if args.stream:
+        import numpy as np
+
+        from tpu_se.infer import StreamingEnhancer
+        from tpu_se.io import read_wav, write_wav
+
+        os.makedirs(args.out_dir, exist_ok=True)
+        for path in wavs:
+            noisy, sr = read_wav(path)
+            s = StreamingEnhancer(args.wts, args.norm, sample_rate=sr)
+            pieces = []
+            for i in range(0, len(noisy), args.stream):
+                pieces.append(s.feed(noisy[i:i + args.stream]))
+            pieces.append(s.flush())
+            stem = os.path.splitext(os.path.basename(str(path)))[0]
+            out_path = os.path.join(args.out_dir, stem + "_enhanced.wav")
+            write_wav(out_path, np.concatenate(pieces), sr)
+            print(f"{stem}: streamed ({args.stream}-sample chunks, "
+                  f"{s.latency_samples / sr * 1e3:.0f} ms algorithmic "
+                  f"latency) -> {out_path}")
+        return 0
+    from tpu_se.infer import decode_files
+
     decode_files(args.wts, args.norm, wavs, args.out_dir, cleans)
     return 0
 
@@ -233,6 +255,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--wts", required=True)
     s.add_argument("--norm", required=True)
     s.add_argument("--out-dir", default="enhanced")
+    s.add_argument("--stream", type=int, default=0, metavar="CHUNK",
+                   help="stream in CHUNK-sample pieces through the "
+                        "low-latency engine instead of batch decode")
     s.set_defaults(func=cmd_decode)
     return p
 

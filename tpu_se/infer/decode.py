@@ -34,13 +34,19 @@ DECODE_PAD_BUCKET = 64
 
 @functools.partial(jax.jit, static_argnames=("context", "compute_dtype"))
 def _enhance_lps(params, lps: jax.Array, mean: jax.Array, inv_std: jax.Array,
-                 context: int = 7, compute_dtype=jnp.float32) -> jax.Array:
-    """Normalized forward over edge-replicated spliced frames, on device."""
+                 n_valid: jax.Array, context: int = 7,
+                 compute_dtype=jnp.float32) -> jax.Array:
+    """Normalized forward over edge-replicated spliced frames, on device.
+
+    ``n_valid`` is the true (un-padded) frame count: the splice clips at
+    ``n_valid - 1`` so the last frames replicate the final TRUE frame
+    (``frame_expand.m:19-22``), not a bucket-pad row.
+    """
     t = lps.shape[0]
     normed = (lps - mean) * inv_std
     half = (context - 1) // 2
     idx = jnp.clip(jnp.arange(t)[:, None]
-                   + jnp.arange(-half, half + 1)[None, :], 0, t - 1)
+                   + jnp.arange(-half, half + 1)[None, :], 0, n_valid - 1)
     x = normed[idx].reshape(t, context * lps.shape[1])
     out = forward(params, x, compute_dtype=compute_dtype)
     return out / inv_std + mean
@@ -105,7 +111,8 @@ class Enhancer:
         pad_t = -(-t // DECODE_PAD_BUCKET) * DECODE_PAD_BUCKET
         lps_p = np.pad(lps, ((0, pad_t - t), (0, 0)))
         out = _enhance_lps(self.params, jnp.asarray(lps_p), self.mean,
-                           self.inv_std, self.context, self.compute_dtype)
+                           self.inv_std, jnp.int32(t), self.context,
+                           self.compute_dtype)
         return np.asarray(out)[:t]
 
     def enhance(self, noisy_wave: np.ndarray

@@ -1,0 +1,327 @@
+"""Streaming low-latency enhancement: hop-in, hop-out with a fixed delay.
+
+A serving capability beyond the reference (whose decode path is file-batch
+only, ``Test_code/decode.m``): a stateful, jit-compiled step consumes one
+``frame_shift``-sample hop per stream and emits one enhanced hop, producing
+output **sample-exact with the batch decode path** — same framing preload
+(``Wav2LogSpec_be.c:401-416``), same edge replication as ``frame_expand.m``,
+same OLA / sum-of-squared-window normalization as ``LogSpec2Wav.c:798-827``
+— at an algorithmic latency of
+
+    half_context hops + one frame = 3*256 + 512 = 1280 samples = 80 ms
+    at 16 kHz (the model's inherent lookahead; the engine adds none).
+
+TPU-native design:
+
+- The whole per-hop pipeline — windowed-DFT GEMM, 7-frame splice from a
+  device-resident ring, DNN forward, inverse-DFT GEMM, overlap-add — is ONE
+  jitted program with static shapes.  State (sample ring, LPS/spec rings,
+  OLA accumulators) lives on device between calls; the host ships only the
+  raw hop in and the enhanced hop out (1 KB each way).
+- ``n_streams`` independent channels are batched on the leading axis, so a
+  serving deployment amortizes MXU occupancy: at S=128 the forward GEMM is
+  the training bunch shape.
+- The analysis/synthesis transforms reuse the batch path's windowed-DFT
+  basis (``tpu_se/dsp/analysis.py``); the inverse is the standard inverse
+  real DFT as one GEMM — no per-frame scalar FFT (``FEfunc.c:296-447``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_se.dsp.analysis import (
+    LOG_FLOOR, _windowed_dft_basis, hamming_window, rate_config,
+)
+from tpu_se.io import read_norm
+from tpu_se.io.wts import read_wts
+from tpu_se.models import forward, params_from_wts
+
+
+@functools.lru_cache(maxsize=None)
+def _inverse_dft_basis(frame_length: int, fft_length: int) -> np.ndarray:
+    """[2*n_bins, frame_length] basis: (Re | Im) @ B == irfft(Re + i*Im).
+
+    Row k (k <= N/2):        c_k/N *  cos(2*pi*k*n/N)
+    Row n_bins + k:          c_k/N * -sin(2*pi*k*n/N)
+    with c_0 = c_{N/2} = 1 and c_k = 2 otherwise — the standard inverse
+    real DFT, identical to the reference's ``rifft`` (``FEfunc.c:296-447``,
+    which divides by N) and to ``jnp.fft.irfft``.
+    """
+    n_bins = fft_length // 2 + 1
+    k = np.arange(n_bins)[:, None].astype(np.float64)
+    n = np.arange(frame_length)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * k * n / fft_length
+    c = np.full((n_bins, 1), 2.0)
+    c[0, 0] = 1.0
+    if fft_length % 2 == 0:
+        c[-1, 0] = 1.0
+    basis = np.concatenate(
+        [c / fft_length * np.cos(ang), c / fft_length * -np.sin(ang)], axis=0)
+    return basis.astype(np.float32)
+
+
+class StreamState(NamedTuple):
+    """Device-resident per-stream state (leading axis = n_streams)."""
+
+    ring: jax.Array       # [S, ring_hops*shift] newest input samples
+    lps_ring: jax.Array   # [S, context, n_bins] normalized LPS, oldest first
+    spec_ring: jax.Array  # [S, half+1, 2*n_bins] raw (Re|Im), oldest first
+    acc: jax.Array        # [S, frame_length] OLA signal accumulator
+    w2: jax.Array         # [S, frame_length] OLA squared-window accumulator
+    hops: jax.Array       # [S] int32: input hops consumed
+    count: jax.Array      # [S] int32: frames pushed into the rings
+
+
+def _ring_hops(frame_length: int, frame_shift: int) -> int:
+    return -(-frame_length // frame_shift)
+
+
+def _init_state(n_streams: int, frame_length: int, frame_shift: int,
+                n_bins: int, context: int) -> StreamState:
+    half = (context - 1) // 2
+    z = functools.partial(jnp.zeros, dtype=jnp.float32)
+    return StreamState(
+        ring=z((n_streams, _ring_hops(frame_length, frame_shift)
+                * frame_shift)),
+        lps_ring=z((n_streams, context, n_bins)),
+        spec_ring=z((n_streams, half + 1, 2 * n_bins)),
+        acc=z((n_streams, frame_length)),
+        w2=z((n_streams, frame_length)),
+        hops=jnp.zeros((n_streams,), dtype=jnp.int32),
+        count=jnp.zeros((n_streams,), dtype=jnp.int32),
+    )
+
+
+def _enhance_and_emit(params, mean, inv_std, state: StreamState,
+                      frame_shift: int, compute_dtype
+                      ) -> tuple[StreamState, jax.Array]:
+    """Shared back half of a step: splice -> forward -> synth -> OLA.
+
+    The rings in ``state`` have already been advanced for this step.  The
+    center frame c = count-1-half is enhanced and overlap-added; the
+    completed hop [c*shift, (c+1)*shift) is emitted (garbage while c < 0 —
+    the wrapper discards those).
+    """
+    s, context, n_bins = state.lps_ring.shape
+    frame_length = state.acc.shape[1]
+    half = (context - 1) // 2
+
+    x = state.lps_ring.reshape(s, context * n_bins)
+    out = forward(params, x, compute_dtype=compute_dtype)
+    enh = out / inv_std + mean
+
+    cspec = state.spec_ring[:, 0]
+    cre, cim = cspec[:, :n_bins], cspec[:, n_bins:]
+    mag = jnp.sqrt(cre * cre + cim * cim)
+    power = jnp.where(enh < LOG_FLOOR, jnp.float32(np.exp(LOG_FLOOR)),
+                      jnp.exp(enh))
+    scale = jnp.where(mag > 0.0, jnp.sqrt(power) / jnp.maximum(mag, 1e-30),
+                      0.0)
+    inv_basis = jnp.asarray(_inverse_dft_basis(frame_length, frame_length))
+    synth = jnp.dot(jnp.concatenate([cre * scale, cim * scale], axis=1),
+                    inv_basis, preferred_element_type=jnp.float32)
+
+    win = jnp.asarray(hamming_window(frame_length))
+    # The center frame exists once count-1 >= half frames have been pushed;
+    # invalid frames contribute neither signal nor window weight (exactly
+    # the batch path's validity mask, synthesis.py).
+    valid = (state.count - 1 >= half).astype(jnp.float32)[:, None]
+    acc = state.acc + synth * win[None, :] * valid
+    w2 = state.w2 + (win * win)[None, :] * valid
+    hop_out = acc[:, :frame_shift] / jnp.maximum(w2[:, :frame_shift], 1e-20)
+    pad = ((0, 0), (0, frame_shift))
+    acc = jnp.pad(acc[:, frame_shift:], pad)
+    w2 = jnp.pad(w2[:, frame_shift:], pad)
+    return state._replace(acc=acc, w2=w2), hop_out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("frame_shift", "compute_dtype"))
+def _stream_step(params, mean, inv_std, state: StreamState, hop: jax.Array,
+                 frame_shift: int, compute_dtype=jnp.float32
+                 ) -> tuple[StreamState, jax.Array]:
+    """One hop in, one hop out, for all S streams."""
+    ring = jnp.concatenate([state.ring[:, frame_shift:], hop], axis=1)
+    frame_length = state.acc.shape[1]
+    n_bins = frame_length // 2 + 1
+    # Frame f = hops+1-ring_hops starts at ring[0] once enough hops arrived
+    # (the reference preloads len-shift samples, Wav2LogSpec_be.c:401-404).
+    ring_hops = ring.shape[1] // frame_shift
+    frame_ready = state.hops + 1 >= ring_hops
+    frame = ring[:, :frame_length]
+
+    basis = jnp.asarray(_windowed_dft_basis(frame_length, frame_length))
+    spec = jnp.dot(frame, basis, preferred_element_type=jnp.float32)
+    re, im = spec[:, :n_bins], spec[:, n_bins:]
+    power = re * re + im * im
+    lps = jnp.where(power < jnp.float32(np.exp(LOG_FLOOR)),
+                    jnp.float32(LOG_FLOOR), jnp.log(power))
+    normed = (lps - mean) * inv_std
+
+    # First frame replicates into the whole ring — exactly the left-edge
+    # clipping of the batch splice (frame_expand.m:7-10).
+    ready = frame_ready[:, None, None]
+    first = (state.count == 0)[:, None, None]
+    context = state.lps_ring.shape[1]
+    lps_ring = jnp.where(
+        ready,
+        jnp.where(first, jnp.repeat(normed[:, None, :], context, axis=1),
+                  jnp.concatenate([state.lps_ring[:, 1:], normed[:, None, :]],
+                                  axis=1)),
+        state.lps_ring)
+    spec_ring = jnp.where(
+        ready,
+        jnp.concatenate([state.spec_ring[:, 1:], spec[:, None, :]], axis=1),
+        state.spec_ring)
+
+    state = state._replace(
+        ring=ring, lps_ring=lps_ring, spec_ring=spec_ring,
+        hops=state.hops + 1,
+        count=state.count + frame_ready.astype(jnp.int32))
+    return _enhance_and_emit(params, mean, inv_std, state, frame_shift,
+                             compute_dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("frame_shift", "compute_dtype"))
+def _flush_step(params, mean, inv_std, state: StreamState,
+                frame_shift: int, compute_dtype=jnp.float32
+                ) -> tuple[StreamState, jax.Array]:
+    """Drain one latency hop: re-push the newest LPS frame (right-edge
+    replication, ``frame_expand.m:19-22``) without consuming input."""
+    state = state._replace(
+        lps_ring=jnp.concatenate(
+            [state.lps_ring[:, 1:], state.lps_ring[:, -1:]], axis=1),
+        spec_ring=jnp.concatenate(
+            [state.spec_ring[:, 1:], state.spec_ring[:, -1:]], axis=1),
+        count=state.count + 1)
+    return _enhance_and_emit(params, mean, inv_std, state, frame_shift,
+                             compute_dtype)
+
+
+class StreamingEnhancer:
+    """Stateful real-time enhancer over ``n_streams`` concurrent channels.
+
+    Single-stream use (arbitrary sample chunks, buffered internally)::
+
+        s = StreamingEnhancer(wts, norm)
+        out = [s.feed(chunk) for chunk in chunks]   # int16 pieces
+        out.append(s.flush())
+        enhanced = np.concatenate(out)              # == batch Enhancer
+
+    Multi-stream serving: call :meth:`push` with aligned [S, shift] hop
+    batches; warm outputs start after ``warmup_hops`` pushes.
+    """
+
+    def __init__(self, wts_path, norm_path, n_streams: int = 1,
+                 context: int = 7, compute_dtype=jnp.float32,
+                 sample_rate: int = 16000):
+        self.params = params_from_wts(read_wts(wts_path))
+        dim = self.params[-1]["b"].shape[0]
+        mean, inv_std = read_norm(norm_path, dim)
+        self.mean = jnp.asarray(mean)
+        self.inv_std = jnp.asarray(inv_std)
+        (self.frame_length, self.frame_shift,
+         fft_length) = rate_config(sample_rate)
+        self.n_bins = fft_length // 2 + 1
+        if self.n_bins != dim:
+            raise ValueError(f"model dim {dim} != {self.n_bins} bins "
+                             f"at {sample_rate} Hz")
+        self.context = context
+        self.half = (context - 1) // 2
+        self.ring_hops = _ring_hops(self.frame_length, self.frame_shift)
+        self.compute_dtype = compute_dtype
+        self.n_streams = n_streams
+        self.state = _init_state(n_streams, self.frame_length,
+                                 self.frame_shift, self.n_bins, context)
+        self._pushed = 0          # frames pushed into the rings (real+flush)
+        self._hops = 0            # input hops consumed
+        self._pending = np.zeros((0,), dtype=np.float32)
+
+    @property
+    def latency_samples(self) -> int:
+        """Algorithmic input->output delay in samples."""
+        return self.half * self.frame_shift + self.frame_length
+
+    @property
+    def warmup_hops(self) -> int:
+        """push() calls before the first valid output hop."""
+        return self.ring_hops - 1 + self.half + 1
+
+    def push(self, hops: np.ndarray) -> np.ndarray | None:
+        """[S, shift] float32 hops -> [S, shift] float32 enhanced hop, or
+        ``None`` during the first ``warmup_hops - 1`` calls."""
+        self.state, out = _stream_step(
+            self.params, self.mean, self.inv_std, self.state,
+            jnp.asarray(hops, dtype=jnp.float32), self.frame_shift,
+            self.compute_dtype)
+        self._hops += 1
+        if self._hops >= self.ring_hops:
+            self._pushed += 1
+        # Emitted hop is frame c = pushed-1-half; valid once c >= 0.
+        return (np.asarray(out) if self._pushed - 1 - self.half >= 0
+                else None)
+
+    def feed(self, samples: np.ndarray) -> np.ndarray:
+        """Single-stream: arbitrary-length int16/float samples in, all
+        currently-available enhanced int16 samples out."""
+        if self.n_streams != 1:
+            raise ValueError("feed() is single-stream; use push()")
+        buf = np.concatenate(
+            [self._pending, np.asarray(samples, dtype=np.float32)])
+        shift = self.frame_shift
+        pieces = []
+        n_hops = len(buf) // shift
+        for i in range(n_hops):
+            out = self.push(buf[i * shift:(i + 1) * shift][None, :])
+            if out is not None:
+                pieces.append(out[0])
+        self._pending = buf[n_hops * shift:]
+        if not pieces:
+            return np.zeros((0,), dtype=np.int16)
+        return np.trunc(np.concatenate(pieces)).astype(np.int16)
+
+    def flush(self) -> np.ndarray:
+        """Drain the latency pipeline (single-stream).
+
+        Trailing samples short of a full hop form one more frame only when
+        they reach the frame boundary the batch framer uses (``num_frames``,
+        analysis.py): at 16 kHz (len = 2*shift) never, at 11 kHz (len =
+        2.33*shift) when >= len - (ring_hops-1)*shift samples remain.
+        That last hop is zero-padded (the zeros fall outside the frame);
+        anything shorter is dropped, exactly like the batch framer."""
+        if self.n_streams != 1:
+            raise ValueError("flush() is single-stream; use flush_hops()")
+        pieces = []
+        need = self.frame_length - (self.ring_hops - 1) * self.frame_shift
+        if len(self._pending) >= need:
+            pad = np.zeros(self.frame_shift - len(self._pending),
+                           dtype=np.float32)
+            out = self.push(np.concatenate([self._pending, pad])[None, :])
+            if out is not None:
+                pieces.append(np.trunc(out[0]).astype(np.int16))
+        self._pending = np.zeros((0,), dtype=np.float32)
+        pieces.extend(np.trunc(out[0]).astype(np.int16)
+                      for out in self.flush_hops())
+        ntail = self.frame_length - self.frame_shift
+        tail = (np.asarray(self.state.acc)[:, :ntail]
+                / np.maximum(np.asarray(self.state.w2)[:, :ntail], 1e-20))
+        pieces.append(np.trunc(tail[0]).astype(np.int16))
+        return np.concatenate(pieces)
+
+    def flush_hops(self):
+        """Yield the drain hops [S, shift] (multi-stream flush): ``half``
+        steps of right-edge replication, skipping still-warming ones."""
+        for _ in range(self.half):
+            self.state, out = _flush_step(
+                self.params, self.mean, self.inv_std, self.state,
+                self.frame_shift, self.compute_dtype)
+            self._pushed += 1
+            if self._pushed - 1 - self.half >= 0:
+                yield np.asarray(out)
