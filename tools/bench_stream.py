@@ -85,6 +85,24 @@ def main() -> int:
               f"p99={np.percentile(lat_ms, 99):.2f} ms "
               f"(budget {hop_budget_ms:.0f} ms) | {frames_s:,.0f} hops/s = "
               f"{audio_s:,.0f}x real-time channels")
+
+        # Chunked mode: K hops per dispatch (push_many), the serving path
+        # when clients deliver K*16 ms of audio at a time.
+        k = enh.SCAN_HOPS
+        chunk = (rng.normal(size=(s_count, k, shift)) * 1000
+                 ).astype(np.float32)
+        enh.push_many(chunk)  # compile
+        n_disp = max(1, args.hops // k)
+        t0 = time.perf_counter()
+        for _ in range(n_disp):
+            outs, _ = enh.push_many(chunk)
+        _ = float(outs[0, -1, 0])
+        t_chunk = time.perf_counter() - t0
+        frames_s = n_disp * k * s_count / t_chunk
+        audio_s = frames_s * shift / sr
+        print(f"         chunked K={k}: {t_chunk / n_disp * 1e3:.2f} ms per "
+              f"{k * hop_budget_ms:.0f} ms chunk | {frames_s:,.0f} hops/s = "
+              f"{audio_s:,.0f}x real-time channels")
     print(f"# algorithmic latency: {enh.latency_samples} samples = "
           f"{enh.latency_samples / sr * 1e3:.0f} ms")
     return 0

@@ -190,6 +190,24 @@ def _stream_step(params, mean, inv_std, state: StreamState, hop: jax.Array,
 
 @functools.partial(jax.jit,
                    static_argnames=("frame_shift", "compute_dtype"))
+def _stream_scan(params, mean, inv_std, state: StreamState, hops: jax.Array,
+                 frame_shift: int, compute_dtype=jnp.float32
+                 ) -> tuple[StreamState, jax.Array]:
+    """K hops in one dispatch: ``lax.scan`` over the hop axis of
+    [S, K, shift] — the chunked-streaming path that amortizes host/device
+    round-trip latency over K hops (identical math to K ``_stream_step``s).
+    """
+
+    def body(st, hop):
+        return _stream_step(params, mean, inv_std, st, hop, frame_shift,
+                            compute_dtype)
+
+    state, outs = jax.lax.scan(body, state, jnp.swapaxes(hops, 0, 1))
+    return state, jnp.swapaxes(outs, 0, 1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("frame_shift", "compute_dtype"))
 def _flush_step(params, mean, inv_std, state: StreamState,
                 frame_shift: int, compute_dtype=jnp.float32
                 ) -> tuple[StreamState, jax.Array]:
@@ -216,8 +234,11 @@ class StreamingEnhancer:
         enhanced = np.concatenate(out)              # == batch Enhancer
 
     Multi-stream serving: call :meth:`push` with aligned [S, shift] hop
-    batches; warm outputs start after ``warmup_hops`` pushes.
+    batches (or :meth:`push_many` with [S, K, shift] chunks to amortize
+    dispatch latency); warm outputs start after ``warmup_hops`` pushes.
     """
+
+    SCAN_HOPS = 8  # hops per scanned dispatch in feed()
 
     def __init__(self, wts_path, norm_path, n_streams: int = 1,
                  context: int = 7, compute_dtype=jnp.float32,
@@ -268,6 +289,27 @@ class StreamingEnhancer:
         return (np.asarray(out) if self._pushed - 1 - self.half >= 0
                 else None)
 
+    def push_many(self, hops: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+        """[S, K, shift] hops in ONE device dispatch (scanned) ->
+        ([S, K, shift] enhanced hops, [K] bool validity mask).
+
+        Identical sample-for-sample to K :meth:`push` calls; use for
+        chunked streaming where the client delivers K hops at a time —
+        the host/device round trip is paid once per chunk, not per hop.
+        """
+        k = hops.shape[1]
+        h0 = self._hops
+        self.state, outs = _stream_scan(
+            self.params, self.mean, self.inv_std, self.state,
+            jnp.asarray(hops, dtype=jnp.float32), self.frame_shift,
+            self.compute_dtype)
+        self._hops += k
+        self._pushed += (max(0, self._hops - (self.ring_hops - 1))
+                         - max(0, h0 - (self.ring_hops - 1)))
+        valid = np.arange(h0, h0 + k) >= self.warmup_hops - 1
+        return np.asarray(outs), valid
+
     def feed(self, samples: np.ndarray) -> np.ndarray:
         """Single-stream: arbitrary-length int16/float samples in, all
         currently-available enhanced int16 samples out."""
@@ -278,8 +320,18 @@ class StreamingEnhancer:
         shift = self.frame_shift
         pieces = []
         n_hops = len(buf) // shift
-        for i in range(n_hops):
-            out = self.push(buf[i * shift:(i + 1) * shift][None, :])
+        i = 0
+        # Full SCAN_HOPS groups go through the scanned multi-hop program
+        # (one dispatch per group); stragglers through the single-hop step.
+        while n_hops - i >= self.SCAN_HOPS:
+            chunk = buf[i * shift:(i + self.SCAN_HOPS) * shift]
+            outs, valid = self.push_many(
+                chunk.reshape(1, self.SCAN_HOPS, shift))
+            pieces.extend(outs[0, j] for j in range(self.SCAN_HOPS)
+                          if valid[j])
+            i += self.SCAN_HOPS
+        for h in range(i, n_hops):
+            out = self.push(buf[h * shift:(h + 1) * shift][None, :])
             if out is not None:
                 pieces.append(out[0])
         self._pending = buf[n_hops * shift:]
