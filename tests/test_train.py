@@ -233,3 +233,91 @@ def test_evaluate_cv_device_resident_matches(reference_dir):
         m_stream["cv_squared_error"], rel=1e-5)
     assert m_res["cv_ggd_loglik"] == pytest.approx(
         m_stream["cv_ggd_loglik"], rel=1e-5)
+
+
+def test_midepoch_checkpoint_resume_bit_exact(reference_dir, tmp_path):
+    """A run killed mid-epoch and resumed from its partial checkpoint
+    produces byte-identical weights to an uninterrupted run."""
+    import os
+
+    def cfg(out):
+        return TrainConfig(
+            fea_file=str(reference_dir / "tools_pfile/train_noisy.pfile"),
+            targ_file=str(reference_dir / "tools_pfile/train_clean.pfile"),
+            norm_file=str(reference_dir / "tools_pfile/train_noisy.norm"),
+            out_dir=str(out), layersizes=(1799, 32, 257), epochs=1,
+            traincache=256, bunchsize=32, init_seed=5,
+            checkpoint_every_chunks=1, device_resident="never")
+
+    # Uninterrupted run.
+    a = cfg(tmp_path / "a")
+    run_training(a, log=lambda s: None)
+    want = open(os.path.join(a.out_dir, "mlp.1.wts"), "rb").read()
+
+    # Interrupted run: crash on the 3rd train_chunk dispatch.
+    import tpu_se.train.loop as loop_mod
+    b = cfg(tmp_path / "b")
+    orig = loop_mod.train_chunk
+    n = {"chunks": 0}
+
+    def bomb(*a, **k):
+        n["chunks"] += 1
+        if n["chunks"] == 3:
+            raise KeyboardInterrupt("simulated crash")
+        return orig(*a, **k)
+
+    loop_mod.train_chunk = bomb
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            run_training(b, log=lambda s: None)
+    finally:
+        loop_mod.train_chunk = orig
+    meta = os.path.join(b.out_dir, "mlp.1.partial.wts.meta.json")
+    assert os.path.exists(meta)
+
+    seen = []
+    run_training(b, log=seen.append)
+    assert any("resuming mid-epoch" in s for s in seen)
+    got = open(os.path.join(b.out_dir, "mlp.1.wts"), "rb").read()
+    assert got == want
+    # Partial files are cleaned up after the epoch completes.
+    assert not os.path.exists(meta)
+
+
+def test_midepoch_resume_device_resident(reference_dir, tmp_path):
+    """Same bit-exactness through the HBM-resident fast path."""
+    import os
+
+    def cfg(out):
+        return TrainConfig(
+            fea_file=str(reference_dir / "tools_pfile/train_noisy.pfile"),
+            targ_file=str(reference_dir / "tools_pfile/train_clean.pfile"),
+            norm_file=str(reference_dir / "tools_pfile/train_noisy.norm"),
+            out_dir=str(out), layersizes=(1799, 32, 257), epochs=1,
+            traincache=256, bunchsize=32, init_seed=6,
+            checkpoint_every_chunks=2, device_resident="always")
+
+    a = cfg(tmp_path / "a")
+    run_training(a, log=lambda s: None)
+    want = open(os.path.join(a.out_dir, "mlp.1.wts"), "rb").read()
+
+    import tpu_se.train.loop as loop_mod
+    b = cfg(tmp_path / "b")
+    orig = loop_mod.train_chunk
+    n = {"chunks": 0}
+
+    def bomb(*a, **k):
+        n["chunks"] += 1
+        if n["chunks"] == 4:
+            raise KeyboardInterrupt("simulated crash")
+        return orig(*a, **k)
+
+    loop_mod.train_chunk = bomb
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            run_training(b, log=lambda s: None)
+    finally:
+        loop_mod.train_chunk = orig
+    run_training(b, log=lambda s: None)
+    got = open(os.path.join(b.out_dir, "mlp.1.wts"), "rb").read()
+    assert got == want

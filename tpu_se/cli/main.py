@@ -126,6 +126,7 @@ def cmd_train(args) -> int:
         activation=args.activation,
         dropout_flag=bool(args.dropoutflag),
         visible_omit=args.visible_omit, hid_omit=args.hid_omit,
+        checkpoint_every_chunks=args.checkpoint_every_chunks,
     )
     if args.mesh_data > 1 or args.mesh_model > 1:
         from tpu_se.parallel import make_mesh
@@ -239,6 +240,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"])
     s.add_argument("--carry-velocity", action="store_true")
+    s.add_argument("--checkpoint-every-chunks", type=int, default=0,
+                   help="write a mid-epoch partial checkpoint every N "
+                        "chunks (0 = epoch-granular only, like the "
+                        "reference)")
     s.add_argument("--activation", default="sigmoid",
                    choices=["sigmoid", "relu"])
     s.add_argument("--dropoutflag", type=int, default=0)

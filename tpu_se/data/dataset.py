@@ -125,10 +125,18 @@ class PfilePairDataset:
         return Chunk(noisy, clean, starts.astype(np.int32),
                      self.context, self.targ_offset)
 
-    def epoch_chunks(self, rng: np.random.Generator):
-        """Shuffled chunk order + shuffled samples (BPtrain.cc:86-100)."""
-        for idx in rng.permutation(self.n_chunks):
-            yield self.chunk(int(idx), rng)
+    def epoch_chunks(self, rng: np.random.Generator, skip: int = 0):
+        """Shuffled chunk order + shuffled samples (BPtrain.cc:86-100).
+
+        ``skip`` replays the rng draws of the first N chunks without
+        loading their data — mid-epoch resume lands on the exact shuffle
+        sequence an uninterrupted epoch would have used.
+        """
+        for i, idx in enumerate(rng.permutation(self.n_chunks)):
+            if i < skip:
+                self.chunk_starts(int(idx), rng)   # consume rng identically
+            else:
+                yield self.chunk(int(idx), rng)
 
     # -- device-resident mode -------------------------------------------
     #

@@ -75,6 +75,7 @@ class TrainConfig:
     device_resident: str = "auto"    # keep the dataset in HBM across epochs
     device_resident_max_bytes: int = 4 << 30
     mesh: object = None              # optional jax.sharding.Mesh
+    checkpoint_every_chunks: int = 0  # >0: mid-epoch partial checkpoints
 
     def hyper(self) -> TrainHyper:
         return TrainHyper(
@@ -127,7 +128,17 @@ def load_device_frames(dataset: PfilePairDataset, mesh=None):
 def train_one_epoch(state: TrainState, dataset: PfilePairDataset,
                     hyper: TrainHyper, lr: float,
                     rng: np.random.Generator, mesh=None,
-                    device_frames=None, log=print) -> TrainState:
+                    device_frames=None, log=print, start_chunk: int = 0,
+                    ckpt_every: int = 0, ckpt_cb=None) -> TrainState:
+    """One epoch over the dataset's chunks.
+
+    ``start_chunk`` resumes mid-epoch: the skipped chunks' rng draws are
+    replayed (not trained) so the shuffle sequence is identical to an
+    uninterrupted epoch.  With ``ckpt_every`` > 0, ``ckpt_cb(state,
+    chunks_done)`` fires after every N trained chunks — chunk-granular
+    fault tolerance (the reference only restarts at epoch boundaries,
+    ``finetune.pl:49``).
+    """
     import jax
 
     lr_arr = jnp.float32(lr)
@@ -141,12 +152,18 @@ def train_one_epoch(state: TrainState, dataset: PfilePairDataset,
         from tpu_se.parallel import batch_sharding
         return jax.device_put(starts, batch_sharding(mesh, 2, 1))
 
+    def maybe_ckpt(st, i):
+        if ckpt_every and ckpt_cb is not None and (i + 1) % ckpt_every == 0:
+            ckpt_cb(st, i + 1)
+
     m = hyper.bunchsize
     if device_frames is not None:
         # Device-resident: frames stay in HBM; only indices move per chunk.
         noisy_dev, clean_dev = device_frames
         for i, starts in enumerate(
                 PrefetchIterator(dataset.epoch_chunk_starts(rng))):
+            if i < start_chunk:
+                continue                   # rng already consumed by the gen
             n_bunches = len(starts) // m
             if n_bunches == 0:
                 continue
@@ -157,9 +174,12 @@ def train_one_epoch(state: TrainState, dataset: PfilePairDataset,
                                 sharded_starts(starts), lr_arr, hyper,
                                 dropout_key=chunk_key)
             log(f"  chunk {i+1}/{n_chunks}: {n_bunches} bunches (resident)")
+            maybe_ckpt(state, i)
         return state
 
-    for i, chunk in enumerate(PrefetchIterator(dataset.epoch_chunks(rng))):
+    for i, chunk in enumerate(
+            PrefetchIterator(dataset.epoch_chunks(rng, skip=start_chunk)),
+            start=start_chunk):
         n_bunches = chunk.n_samples // m
         if n_bunches == 0:
             continue
@@ -175,6 +195,7 @@ def train_one_epoch(state: TrainState, dataset: PfilePairDataset,
                             jnp.asarray(starts), lr_arr, hyper,
                             dropout_key=chunk_key)
         log(f"  chunk {i+1}/{n_chunks}: {n_bunches} bunches")
+        maybe_ckpt(state, i)
     return state
 
 
@@ -278,6 +299,29 @@ def run_training(cfg: TrainConfig, log=print) -> str:
             if not cfg.carry_velocity:
                 state = make_train_state(state.params, cfg.layersizes[-1])
 
+        # Mid-epoch resume: a partial checkpoint (written every
+        # checkpoint_every_chunks trained chunks) restarts inside the
+        # epoch with the exact optimizer state and shuffle position.
+        partial_path = os.path.join(cfg.out_dir, f"mlp.{epoch}.partial.wts")
+        meta_path = partial_path + ".meta.json"
+        start_chunk = 0
+        if cfg.checkpoint_every_chunks and os.path.exists(meta_path):
+            import json
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta.get("epoch") == epoch:
+                state = load_checkpoint(partial_path)
+                start_chunk = int(meta["chunks_done"])
+                log(f"epoch {epoch}: resuming mid-epoch at chunk "
+                    f"{start_chunk} from {partial_path}")
+
+        def save_partial(st, chunks_done, _epoch=epoch,
+                         _pp=partial_path, _mp=meta_path):
+            import json
+            save_checkpoint(_pp, st)
+            with open(_mp, "w") as f:
+                json.dump({"epoch": _epoch, "chunks_done": chunks_done}, f)
+
         lr = cfg.lr_for_epoch(epoch)
         rng = np.random.default_rng(cfg.seed_for_epoch(epoch))
         from tpu_se.utils import EpochLogger
@@ -287,11 +331,18 @@ def run_training(cfg: TrainConfig, log=print) -> str:
         t0 = time.time()
         state = train_one_epoch(state, dataset, hyper, lr, rng,
                                 mesh=cfg.mesh, device_frames=train_frames,
-                                log=elog)
+                                log=elog, start_chunk=start_chunk,
+                                ckpt_every=cfg.checkpoint_every_chunks,
+                                ckpt_cb=(save_partial
+                                         if cfg.checkpoint_every_chunks
+                                         else None))
         metrics = evaluate_cv(state, cv_dataset, hyper,
                               device_frames=cv_frames)
         dt = time.time() - t0
         save_checkpoint(out_path, state)
+        for p in (partial_path, partial_path + ".state.npz", meta_path):
+            if os.path.exists(p):
+                os.remove(p)
         elog.finish(metrics)
         log(f"epoch {epoch}: sq={metrics['cv_squared_error']:.1f} "
             f"abs={metrics['cv_abs_error']:.1f} "
