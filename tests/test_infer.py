@@ -129,3 +129,29 @@ def test_cli_gen_rand_net(tmp_path):
     from tpu_se.io import read_wts
     layers = read_wts(out)
     assert layers[0]["w"].shape == (21, 16)
+
+
+def test_fused_decode_matches_staged(reference_dir, identity_model):
+    """The one-dispatch fused decode == the staged lps->forward->synth
+    path (which postprocess/smooth still use)."""
+    import numpy as np
+
+    from tpu_se.dsp import frame_signal, lps_from_frames, reconstruct
+    from tpu_se.infer import Enhancer
+
+    import jax.numpy as jnp
+
+    wts, norm = identity_model
+    noisy, _ = read_wav(reference_dir / NOISY_DEMO)
+    enh = Enhancer(wts, norm)
+    wave_f, recon_f, lps_f = enh.enhance(noisy)
+
+    frames = frame_signal(noisy)
+    lps = np.asarray(lps_from_frames(jnp.asarray(frames)))
+    enh_lps = enh.enhance_lps(lps)
+    wave_s, recon_s = reconstruct(enh_lps, noisy)
+
+    np.testing.assert_allclose(lps_f, enh_lps, rtol=1e-5, atol=1e-5)
+    assert np.abs(wave_f.astype(np.int32)
+                  - wave_s.astype(np.int32)).max() <= 1
+    np.testing.assert_allclose(recon_f, recon_s, rtol=1e-4, atol=1e-3)

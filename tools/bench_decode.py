@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Offline decode throughput: batch enhancement on the current backend.
+
+Times the full device pipeline per utterance — LPS analysis GEMM,
+normalize + edge-replicated splice, DNN forward, de-normalize, noisy-phase
+synthesis + OLA — over a batch of bucket-padded utterances, reporting
+frames/s and the real-time factor (x faster than audio).
+
+Usage: timeout 590 python tools/bench_decode.py [--utts N] [--frames T]
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--utts", type=int, default=32)
+    ap.add_argument("--frames", type=int, default=448,
+                    help="frames per utterance (~7.2 s at 16 kHz)")
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from tpu_se.infer import Enhancer
+    from tpu_se.io import write_wts
+    from tpu_se.io.norm import write_norm
+    from tpu_se.models import DEFAULT_LAYERSIZES, init_params, params_to_wts
+
+    d = tempfile.mkdtemp()
+    wts = os.path.join(d, "m.wts")
+    write_wts(wts, params_to_wts(init_params(1, DEFAULT_LAYERSIZES)))
+    norm = os.path.join(d, "m.norm")
+    rng = np.random.default_rng(0)
+    write_norm(norm, rng.normal(size=257).astype(np.float32),
+               (1.0 / (1.0 + rng.random(257))).astype(np.float32))
+
+    platform = jax.devices()[0].platform
+    enh = Enhancer(wts, norm)
+    shift, sr = 256, 16000.0
+    n_samples = (args.frames + 1) * shift
+    utts = [(rng.normal(size=n_samples) * 1000).astype(np.float32)
+            .astype(np.int16) for _ in range(args.utts)]
+
+    # Warm-up: compile every program in the path.
+    enh.enhance(utts[0])
+
+    t0 = time.perf_counter()
+    total_frames = 0
+    for _ in range(args.reps):
+        for u in utts:
+            wave, _, lps = enh.enhance(u)
+            total_frames += lps.shape[0]
+    _ = int(wave[-1])
+    dt = time.perf_counter() - t0
+
+    fps = total_frames / dt
+    audio_rate = fps * shift / sr
+    print(f"# platform={platform} utts={args.utts} frames/utt={args.frames} "
+          f"reps={args.reps}")
+    print(f"decode throughput: {fps:,.0f} frames/s = {audio_rate:,.0f}x "
+          f"real-time ({dt / (args.reps * args.utts) * 1e3:.1f} ms per "
+          f"{n_samples / sr:.1f} s utterance)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,7 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_se.dsp import NUM_BINS, frame_signal, lps_from_frames, reconstruct
+from tpu_se.dsp.analysis import FRAME_BUCKET, FRAME_LENGTH, FRAME_SHIFT
 from tpu_se.dsp.metrics import segsnr_lsd_pair
+from tpu_se.dsp.synthesis import _synth_and_ola
 from tpu_se.io import read_norm, read_wav, write_wav
 from tpu_se.io.wts import read_wts
 from tpu_se.models import forward, params_from_wts
@@ -50,6 +52,27 @@ def _enhance_lps(params, lps: jax.Array, mean: jax.Array, inv_std: jax.Array,
     x = normed[idx].reshape(t, context * lps.shape[1])
     out = forward(params, x, compute_dtype=compute_dtype)
     return out / inv_std + mean
+
+
+@functools.partial(jax.jit, static_argnames=("frame_shift", "context",
+                                              "compute_dtype"))
+def _decode_device(params, frames: jax.Array, mean: jax.Array,
+                   inv_std: jax.Array, n_valid: jax.Array,
+                   frame_shift: int = FRAME_SHIFT, context: int = 7,
+                   compute_dtype=jnp.float32):
+    """The WHOLE decode pipeline as one device program: noisy frames ->
+    (OLA waveform, de-windowed recon frames, enhanced LPS).
+
+    Fuses analysis GEMM + splice + forward + de-norm + synthesis + OLA so
+    an utterance costs ONE host<->device round trip instead of three —
+    the dominant cost per utterance is the transfer, not the FLOPs.
+    """
+    lps = lps_from_frames(frames)
+    enh = _enhance_lps(params, lps, mean, inv_std, n_valid, context,
+                       compute_dtype)
+    valid = (jnp.arange(frames.shape[0]) < n_valid).astype(jnp.float32)
+    wave, recon = _synth_and_ola(enh, frames, valid, frame_shift)
+    return wave, recon, enh
 
 
 SWITCHPOINT = 36          # LogSpec2Wav.c:76 — low/high band split
@@ -117,17 +140,40 @@ class Enhancer:
 
     def enhance(self, noisy_wave: np.ndarray
                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """noisy int16 wave -> (enhanced int16 wave, recon frames, enh LPS)."""
+        """noisy int16 wave -> (enhanced int16 wave, recon frames, enh LPS).
+
+        Default path: the fully fused device program (`_decode_device`,
+        one round trip).  The staged path is kept for the host-side
+        postprocess/smooth options (which sit between forward and
+        synthesis, ``LogSpec2Wav.c:497-546,655-679``).
+        """
         frames = frame_signal(noisy_wave)
-        lps = np.asarray(lps_from_frames(jnp.asarray(frames)))
-        enh_lps = self.enhance_lps(lps)
-        if self.smooth:
-            power = np.where(enh_lps < -50.0, np.exp(-50.0), np.exp(enh_lps))
-            enh_lps = np.log(smooth_power(power)).astype(np.float32)
-        if self.postprocess:
-            enh_lps = postprocess_lps(enh_lps, lps)
-        wave, recon = reconstruct(enh_lps, noisy_wave)
-        return wave, recon, enh_lps
+        t = frames.shape[0]
+        if self.smooth or self.postprocess:
+            lps = np.asarray(lps_from_frames(jnp.asarray(frames)))
+            enh_lps = self.enhance_lps(lps)
+            if self.smooth:
+                power = np.where(enh_lps < -50.0, np.exp(-50.0),
+                                 np.exp(enh_lps))
+                enh_lps = np.log(smooth_power(power)).astype(np.float32)
+            if self.postprocess:
+                enh_lps = postprocess_lps(enh_lps, lps)
+            wave, recon = reconstruct(enh_lps, noisy_wave)
+            return wave, recon, enh_lps
+
+        if t == 0:
+            return (np.zeros(0, np.int16), np.zeros((0, FRAME_LENGTH),
+                    np.float32), np.zeros((0, NUM_BINS), np.float32))
+        t_pad = -(-t // FRAME_BUCKET) * FRAME_BUCKET
+        frames_p = np.zeros((t_pad, FRAME_LENGTH), dtype=np.float32)
+        frames_p[:t] = frames
+        wave, recon, enh = _decode_device(
+            self.params, jnp.asarray(frames_p), self.mean, self.inv_std,
+            jnp.int32(t), FRAME_SHIFT, self.context, self.compute_dtype)
+        wave = np.asarray(wave)[: t * FRAME_SHIFT
+                                + (FRAME_LENGTH - FRAME_SHIFT)]
+        return (np.trunc(wave).astype(np.int16), np.asarray(recon)[:t],
+                np.asarray(enh)[:t])
 
 
 def enhance_utterance(wts_path, norm_path, noisy_wave: np.ndarray
