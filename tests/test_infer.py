@@ -131,6 +131,48 @@ def test_cli_gen_rand_net(tmp_path):
     assert layers[0]["w"].shape == (21, 16)
 
 
+def test_cli_pfile_info(reference_dir):
+    pf = str(reference_dir / "tools_pfile/train_noisy.pfile")
+    r = _cli("pfile-info", pf, "--sents")
+    assert r.returncode == 0, r.stderr
+    assert "10 sentences, 1885 frames, 257 features" in r.stdout
+    # per-sentence lengths must match the bundled frame_numbers.len
+    lens = [int(x) for x in
+            (reference_dir / "tools_pfile/frame_numbers.len")
+            .read_text().split()]
+    for i, t in enumerate(lens):
+        assert f"sentence {i}: {t} frames" in r.stdout
+
+
+def test_cli_wts_info(tmp_path):
+    out = str(tmp_path / "r.wts")
+    assert _cli("gen-rand-net", "--layersizes", "21,16,9",
+                "-o", out).returncode == 0
+    r = _cli("wts-info", out)
+    assert r.returncode == 0, r.stderr
+    assert "weights12" in r.stdout and "bias3" in r.stdout
+    # 21*16 + 16 + 16*9 + 9 parameters
+    assert "total: 505 parameters" in r.stdout
+
+
+def test_cli_eval(reference_dir):
+    demos = reference_dir / "Enh_demos"
+    clean = str(demos / "DestroyerEngine_SNR0_CLEAN_TEST_DR3_FPKT0_SI1538.WAV")
+    noisy = str(demos / "DestroyerEngine_SNR0_NOISY_TEST_DR3_FPKT0_SI1538.wav")
+    ml = str(demos / "DestroyerEngine_SNR0_ML_TEST_DR3_FPKT0_SI1538.wav")
+    r = _cli("eval", "--clean", clean, clean, "--test", noisy, ml, "--json")
+    assert r.returncode == 0, r.stderr
+    import json
+
+    rows = [json.loads(line) for line in r.stdout.splitlines()]
+    by_name = {row["name"]: row for row in rows if row["name"] != "mean"}
+    # the enhanced demo must beat the noisy input on every metric
+    assert by_name[ml]["segsnr"] > by_name[noisy]["segsnr"]
+    assert by_name[ml]["lsd"] < by_name[noisy]["lsd"]
+    assert by_name[ml]["stoi"] > by_name[noisy]["stoi"]
+    assert rows[-1]["name"] == "mean"
+
+
 def test_fused_decode_matches_staged(reference_dir, identity_model):
     """The one-dispatch fused decode == the staged lps->forward->synth
     path (which postprocess/smooth still use)."""

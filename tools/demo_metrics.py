@@ -22,20 +22,9 @@ import numpy as np
 
 
 def score(clean, test, fs=16000):
-    from tpu_se.dsp import wav_to_lps, frame_signal
-    from tpu_se.dsp.metrics import segsnr, lsd, power_spectra
-    from tpu_se.infer.stoi import stoi
-    from tpu_se.infer.pesq import pesq
+    from tpu_se.infer import score_pair
 
-    n = min(len(clean), len(test))
-    clean, test = clean[:n], test[:n]
-    cf, tf = frame_signal(clean), frame_signal(test)
-    return {
-        "segsnr": segsnr(cf, tf),
-        "lsd": lsd(power_spectra(cf), power_spectra(tf)),
-        "stoi": stoi(clean, test, fs),
-        "pesq": pesq(clean, test, fs),
-    }
+    return score_pair(clean, test, fs)
 
 
 def main() -> int:

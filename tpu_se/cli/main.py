@@ -8,6 +8,9 @@ Commands (reference equivalents in parentheses):
 - ``gen-rand-net`` (Gen_rand_net): random-init .wts
 - ``train``        (finetune.pl + BPtrain_Sigmoid): full epoch schedule
 - ``decode``       (decode.m + LPS2Wav_be): noisy wavs -> enhanced wavs
+- ``pfile-info``   (QuickNet pfile_info): inspect pfile headers/sentences
+- ``wts-info``     inspect .wts weight files (shapes, stats)
+- ``eval``         score wav pairs with SegSNR/LSD/STOI/PESQ
 """
 
 from __future__ import annotations
@@ -90,6 +93,75 @@ def cmd_get_norm(args) -> int:
     mean, inv_std = compute_norm(pf.features)
     write_norm(args.out, mean, inv_std, with_headers=not args.no_headers)
     print(f"{pf.num_frames} frames x {pf.dim} dims -> {args.out}")
+    return 0
+
+
+def cmd_pfile_info(args) -> int:
+    # QuickNet's pfile_info CLI (tools_pfile/tools/QN/atlas1/bin/): header
+    # summary + optional per-sentence lengths, from the 32 KB ASCII header
+    # and cumulative sentence tail (Interface.cc:519-585,988-1024).
+    from tpu_se.io import read_pfile_meta
+
+    for path in args.pfile:
+        n_sents, n_frames, dim, ends = read_pfile_meta(path)
+        print(f"{path}: {n_sents} sentences, {n_frames} frames, "
+              f"{dim} features")
+        if args.sents:
+            import numpy as np
+
+            lengths = np.diff(np.concatenate([[0], ends]))
+            for i, t in enumerate(lengths):
+                print(f"  sentence {i}: {t} frames")
+    return 0
+
+
+def cmd_wts_info(args) -> int:
+    from tpu_se.io import read_wts
+
+    for path in args.wts:
+        layers = read_wts(path)
+        total = 0
+        print(path + ":")
+        for i, layer in enumerate(layers):
+            for key, name in (("w", f"weights{i+1}{i+2}"),
+                              ("b", f"bias{i+2}")):
+                data = layer[key].reshape(layer[key].shape[0], -1)
+                total += data.size
+                rms = float((data.astype("float64") ** 2).mean()) ** 0.5
+                print(f"  {name:12s} [{' x '.join(map(str, layer[key].shape)):>12s}]"
+                      f"  min {data.min():+.6f}  max {data.max():+.6f}"
+                      f"  rms {rms:.6f}")
+        print(f"  total: {total} parameters "
+              f"({total * 4 / 1e6:.1f} MB float32)")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    import json
+
+    from tpu_se.infer import score_files
+    from tpu_se.infer.evaluate import METRICS
+
+    cleans = _read_scp(args.clean_scp) if args.clean_scp else args.clean
+    tests = _read_scp(args.test_scp) if args.test_scp else args.test
+    rows = score_files(cleans, tests)
+    if args.json:
+        for row in rows:
+            print(json.dumps(row))
+    else:
+        print(f"{'file':40s} {'SegSNR':>8s} {'LSD':>8s} "
+              f"{'STOI':>7s} {'PESQ':>6s}")
+        for row in rows:
+            name = os.path.basename(row["name"])
+            print(f"{name:40s} {row['segsnr']:8.2f} {row['lsd']:8.2f} "
+                  f"{row['stoi']:7.3f} {row['pesq']:6.2f}")
+    if len(rows) > 1:
+        mean = {m: sum(r[m] for r in rows) / len(rows) for m in METRICS}
+        if args.json:
+            print(json.dumps({"name": "mean", **mean}))
+        else:
+            print(f"{'mean':40s} {mean['segsnr']:8.2f} {mean['lsd']:8.2f} "
+                  f"{mean['stoi']:7.3f} {mean['pesq']:6.2f}")
     return 0
 
 
@@ -206,6 +278,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help="omit 'vec N' lines (Test_code variant)")
     s.set_defaults(func=cmd_get_norm)
 
+    s = sub.add_parser("pfile-info", help="inspect pfiles (pfile_info)")
+    s.add_argument("pfile", nargs="+")
+    s.add_argument("--sents", action="store_true",
+                   help="also print per-sentence frame counts")
+    s.set_defaults(func=cmd_pfile_info)
+
+    s = sub.add_parser("wts-info", help="inspect .wts weight files")
+    s.add_argument("wts", nargs="+")
+    s.set_defaults(func=cmd_wts_info)
+
+    s = sub.add_parser("eval",
+                       help="score (clean, test) wav pairs: "
+                            "SegSNR/LSD/STOI/PESQ")
+    s.add_argument("--clean", nargs="*", default=[])
+    s.add_argument("--test", nargs="*", default=[])
+    s.add_argument("--clean-scp")
+    s.add_argument("--test-scp")
+    s.add_argument("--json", action="store_true",
+                   help="one JSON object per line instead of a table")
+    s.set_defaults(func=cmd_eval)
+
     s = sub.add_parser("gen-rand-net", help="random-init .wts")
     s.add_argument("--layersizes", default="1799,2048,2048,2048,257")
     s.add_argument("--flag", type=int, default=1)
@@ -269,7 +362,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    return args.func(args)
+    try:
+        return args.func(args)
+    except BrokenPipeError:
+        # downstream pipe (e.g. ``| head``) closed early — not an error
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        return 0
 
 
 if __name__ == "__main__":
