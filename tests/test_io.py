@@ -31,6 +31,17 @@ def test_htk_roundtrip(tmp_path):
     assert hdr.n_dim == 257
 
 
+def test_htk_no_header(tmp_path):
+    """-noh output = the same BE float rows with the 12-byte header omitted
+    (Wav2LogSpec_be.c:172,602)."""
+    rng = np.random.default_rng(1)
+    data = rng.normal(size=(5, 257)).astype(np.float32)
+    with_hdr, no_hdr = tmp_path / "h.htk", tmp_path / "n.htk"
+    write_htk(with_hdr, data)
+    write_htk(no_hdr, data, no_header=True)
+    assert no_hdr.read_bytes() == with_hdr.read_bytes()[12:]
+
+
 def test_read_golden_wav(reference_dir):
     wave, sr = read_wav(reference_dir / "Feature_prepare/data/TEST_DR8_MPAM0_SX289.wav")
     assert sr == 16000

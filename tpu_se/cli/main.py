@@ -45,7 +45,8 @@ def cmd_lps_extract(args) -> int:
         # sampPeriod is 160000 for every rate, like the reference
         # (Wav2LogSpec_be.c:371 hardcodes it; the per-rate variant is
         # commented out there).
-        write_htk(out, lps, samp_period=160000 * (2 * args.win + 1))
+        write_htk(out, lps, samp_period=160000 * (2 * args.win + 1),
+                  no_header=args.noh)
         print(f"{path}: {lps.shape[0]} frames -> {out}")
     return 0
 
@@ -254,6 +255,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--swap", action="store_true")
     s.add_argument("--win", type=int, default=0,
                    help="stack 2*win+1 frames per row (Wav2LPS_be -win)")
+    s.add_argument("--noh", action="store_true",
+                   help="omit the HTK header on output (Wav2LPS_be -noh)")
     s.add_argument("-o", "--out", help="output path (single input only)")
     s.set_defaults(func=cmd_lps_extract)
 

@@ -54,12 +54,16 @@ def frames_in_htk_file(path, n_dim: int = 257) -> int:
 
 
 def write_htk(path, data: np.ndarray, samp_period: int = 160000,
-              param_kind: int = 9) -> None:
-    """Write float32 [T, D] as a big-endian HTK file (reference layout)."""
+              param_kind: int = 9, no_header: bool = False) -> None:
+    """Write float32 [T, D] as a big-endian HTK file (reference layout).
+
+    ``no_header=True`` omits the 12-byte header, matching the reference
+    front-end's ``-noh`` flag (``Wav2LogSpec_be.c:172,602``)."""
     data = np.asarray(data, dtype=np.float32)
     if data.ndim != 2:
         raise ValueError(f"expected [T, D] array, got shape {data.shape}")
     t, d = data.shape
     with open(path, "wb") as f:
-        f.write(struct.pack(">iihh", t, samp_period, d * 4, param_kind))
+        if not no_header:
+            f.write(struct.pack(">iihh", t, samp_period, d * 4, param_kind))
         f.write(data.astype(">f4").tobytes())
