@@ -46,6 +46,18 @@ def test_init_scheme_bounds():
     assert np.abs(np.asarray(params0[0]["w"])).max() <= 0.5 / 10.0
 
 
+def test_init_uniform_ranges():
+    """Trainer-internal fallback init (init_randem_* keys,
+    Interface.cc:140-143): plain uniform on both weights and biases."""
+    from tpu_se.models import init_params_uniform
+
+    params = init_params_uniform(7, (100, 50, 10), -0.2, 0.3, -0.05, 0.05)
+    w, b = np.asarray(params[0]["w"]), np.asarray(params[0]["b"])
+    assert w.min() >= -0.2 and w.max() <= 0.3 and w.max() > 0.25
+    assert b.min() >= -0.05 and b.max() <= 0.05 and np.abs(b).max() > 0
+    assert w.shape == (100, 50) and b.shape == (50,)
+
+
 def test_param_count():
     params = init_params(0, (1799, 2048, 2048, 2048, 257))
     assert param_count(params) == (1799 * 2048 + 2048 + 2048 * 2048 + 2048

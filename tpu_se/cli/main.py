@@ -201,6 +201,11 @@ def cmd_train(args) -> int:
         visible_omit=args.visible_omit, hid_omit=args.hid_omit,
         checkpoint_every_chunks=args.checkpoint_every_chunks,
     )
+    if args.init_ranges:
+        vals = tuple(float(x) for x in args.init_ranges.split(","))
+        if len(vals) != 4:
+            raise SystemExit("--init-ranges wants w_min,w_max,b_min,b_max")
+        cfg.init_ranges = vals
     if args.mesh_data > 1 or args.mesh_model > 1:
         from tpu_se.parallel import make_mesh
         cfg.mesh = make_mesh(args.mesh_data, args.mesh_model)
@@ -336,6 +341,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"])
     s.add_argument("--carry-velocity", action="store_true")
+    s.add_argument("--init-ranges", default="", metavar="W_MIN,W_MAX,B_MIN,B_MAX",
+                   help="plain uniform random init when no --init-wts "
+                        "(init_randem_* keys, Interface.cc:140-143); "
+                        "reference defaults -0.1,0.1,-0.1,0.1")
     s.add_argument("--checkpoint-every-chunks", type=int, default=0,
                    help="write a mid-epoch partial checkpoint every N "
                         "chunks (0 = epoch-granular only, like the "

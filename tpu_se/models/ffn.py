@@ -41,6 +41,25 @@ def init_params(seed: int, layersizes=DEFAULT_LAYERSIZES,
     return params
 
 
+def init_params_uniform(seed: int, layersizes=DEFAULT_LAYERSIZES,
+                        weight_min: float = -0.1, weight_max: float = 0.1,
+                        bias_min: float = -0.1, bias_max: float = 0.1
+                        ) -> list[dict]:
+    """The trainer's internal fallback init when no ``initwts_file`` is
+    given: plain uniform ranges (``Interface.cc:140-143``, keys
+    ``init_randem_{weight,bias}_{min,max}``). ``finetune.pl`` never uses
+    this path (epoch 1 always loads a Gen_rand_net ``.wts``), but the CLI
+    key surface supports it for parity."""
+    rng = np.random.default_rng(seed)
+    params = []
+    for n_in, n_out in zip(layersizes[:-1], layersizes[1:]):
+        w = rng.uniform(weight_min, weight_max,
+                        size=(n_in, n_out)).astype(np.float32)
+        b = rng.uniform(bias_min, bias_max, size=n_out).astype(np.float32)
+        params.append({"w": jnp.asarray(w), "b": jnp.asarray(b)})
+    return params
+
+
 def forward(params: list[dict], x: jax.Array,
             compute_dtype=jnp.float32,
             activation: str = "sigmoid",

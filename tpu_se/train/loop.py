@@ -68,6 +68,10 @@ class TrainConfig:
     grad_scale: str = "parity"
     compute_dtype: str = "float32"   # or "bfloat16"
     carry_velocity: bool = False
+    # init_randem_{weight,bias}_{min,max} (Interface.cc:140-143): when set
+    # (and no init_wts_file), random-init from these plain uniform ranges
+    # instead of the Gen_rand_net fan-based scheme.
+    init_ranges: tuple | None = None  # (w_min, w_max, b_min, b_max)
     activation: str = "sigmoid"      # "relu" = the reference's RELU build
     dropout_flag: bool = False       # dropoutflag (finetune.pl:74-76)
     visible_omit: float = 0.1
@@ -291,6 +295,12 @@ def run_training(cfg: TrainConfig, log=print) -> str:
         if epoch == 1:
             if cfg.init_wts_file:
                 state = load_checkpoint(cfg.init_wts_file)
+            elif cfg.init_ranges is not None:
+                from tpu_se.models import init_params_uniform
+
+                params = init_params_uniform(
+                    cfg.seed_for_epoch(1), cfg.layersizes, *cfg.init_ranges)
+                state = make_train_state(params, cfg.layersizes[-1])
             else:
                 params = init_params(cfg.seed_for_epoch(1), cfg.layersizes)
                 state = make_train_state(params, cfg.layersizes[-1])
