@@ -95,6 +95,30 @@ def test_dp_tp_train_step(devices8):
     assert np.isfinite(np.asarray(out.alpha)).all()
 
 
+def test_sharded_decode_matches_single(devices8, tmp_path):
+    """Mesh-sharded batch decode (frames over the data axis) produces the
+    same waveform/LPS as single-device decode."""
+    from tpu_se.infer import Enhancer
+    from tpu_se.io import write_norm, write_wts
+    from tpu_se.models import params_to_wts
+
+    params = init_params(11, (1799, 32, 32, 257))
+    wts, norm = str(tmp_path / "m.wts"), str(tmp_path / "m.norm")
+    write_wts(wts, params_to_wts(params))
+    rng = np.random.default_rng(2)
+    write_norm(norm, rng.normal(size=257).astype(np.float32),
+               (0.5 + rng.random(257)).astype(np.float32))
+    noisy = (rng.normal(size=16000) * 3000).astype(np.int16)
+
+    single = Enhancer(wts, norm)
+    sharded = Enhancer(wts, norm, mesh=make_mesh(8, 1))
+    w1, r1, l1 = single.enhance(noisy)
+    w8, r8, l8 = sharded.enhance(noisy)
+    np.testing.assert_allclose(l8, l1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(r8, r1, rtol=1e-4, atol=1e-3)
+    assert np.abs(w8.astype(np.int32) - w1.astype(np.int32)).max() <= 1
+
+
 def test_graft_entry_contract(devices8):
     import __graft_entry__ as ge
 

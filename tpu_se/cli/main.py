@@ -240,7 +240,12 @@ def cmd_decode(args) -> int:
         return 0
     from tpu_se.infer import decode_files
 
-    decode_files(args.wts, args.norm, wavs, args.out_dir, cleans)
+    mesh = None
+    if args.mesh_data > 1:
+        from tpu_se.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh_data, 1)
+    decode_files(args.wts, args.norm, wavs, args.out_dir, cleans, mesh=mesh)
     return 0
 
 
@@ -368,6 +373,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--stream", type=int, default=0, metavar="CHUNK",
                    help="stream in CHUNK-sample pieces through the "
                         "low-latency engine instead of batch decode")
+    s.add_argument("--mesh-data", type=int, default=1,
+                   help="shard the frame axis across this many devices "
+                        "(data-parallel batch decode)")
     s.set_defaults(func=cmd_decode)
     return p
 

@@ -113,11 +113,17 @@ def smooth_power(power: np.ndarray) -> np.ndarray:
 
 
 class Enhancer:
-    """Loaded model + normalization stats, ready to enhance utterances."""
+    """Loaded model + normalization stats, ready to enhance utterances.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis — the
+    utterance's frame axis is sharded across it (params replicated) and
+    GSPMD inserts the splice-halo and OLA-boundary collectives, scaling
+    batch decode across chips. Results are identical to single-device
+    decode (``tests/test_parallel.py``)."""
 
     def __init__(self, wts_path, norm_path, context: int = 7,
                  compute_dtype=jnp.float32, postprocess: bool = False,
-                 smooth: bool = False):
+                 smooth: bool = False, mesh=None):
         self.params = params_from_wts(read_wts(wts_path))
         dim = self.params[-1]["b"].shape[0]
         mean, inv_std = read_norm(norm_path, dim)
@@ -127,14 +133,38 @@ class Enhancer:
         self.compute_dtype = compute_dtype
         self.postprocess = postprocess
         self.smooth = smooth
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._n_data = mesh.shape["data"]
+            frames_sh = NamedSharding(mesh, P("data", None))
+            repl = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, repl)
+            self.mean = jax.device_put(self.mean, repl)
+            self.inv_std = jax.device_put(self.inv_std, repl)
+            self._shard_frames = lambda f: jax.device_put(f, frames_sh)
+            self._shard_scalar = lambda s: jax.device_put(s, repl)
+
+    def _pad_bucket(self, bucket: int) -> int:
+        """Pad bucket, rounded so the frame axis divides the data mesh."""
+        if self.mesh is None:
+            return bucket
+        n = self._n_data
+        return -(-bucket // n) * n
 
     def enhance_lps(self, lps: np.ndarray) -> np.ndarray:
         """Enhanced (de-normalized) LPS [T, 257] from noisy LPS [T, 257]."""
         t = lps.shape[0]
-        pad_t = -(-t // DECODE_PAD_BUCKET) * DECODE_PAD_BUCKET
-        lps_p = np.pad(lps, ((0, pad_t - t), (0, 0)))
-        out = _enhance_lps(self.params, jnp.asarray(lps_p), self.mean,
-                           self.inv_std, jnp.int32(t), self.context,
+        bucket = self._pad_bucket(DECODE_PAD_BUCKET)
+        pad_t = -(-t // bucket) * bucket
+        lps_p = jnp.asarray(np.pad(lps, ((0, pad_t - t), (0, 0))))
+        n_valid = jnp.int32(t)
+        if self.mesh is not None:
+            lps_p = self._shard_frames(lps_p)
+            n_valid = self._shard_scalar(n_valid)
+        out = _enhance_lps(self.params, lps_p, self.mean,
+                           self.inv_std, n_valid, self.context,
                            self.compute_dtype)
         return np.asarray(out)[:t]
 
@@ -164,12 +194,17 @@ class Enhancer:
         if t == 0:
             return (np.zeros(0, np.int16), np.zeros((0, FRAME_LENGTH),
                     np.float32), np.zeros((0, NUM_BINS), np.float32))
-        t_pad = -(-t // FRAME_BUCKET) * FRAME_BUCKET
+        bucket = self._pad_bucket(FRAME_BUCKET)
+        t_pad = -(-t // bucket) * bucket
         frames_p = np.zeros((t_pad, FRAME_LENGTH), dtype=np.float32)
         frames_p[:t] = frames
+        frames_j, n_valid = jnp.asarray(frames_p), jnp.int32(t)
+        if self.mesh is not None:
+            frames_j = self._shard_frames(frames_j)
+            n_valid = self._shard_scalar(n_valid)
         wave, recon, enh = _decode_device(
-            self.params, jnp.asarray(frames_p), self.mean, self.inv_std,
-            jnp.int32(t), FRAME_SHIFT, self.context, self.compute_dtype)
+            self.params, frames_j, self.mean, self.inv_std,
+            n_valid, FRAME_SHIFT, self.context, self.compute_dtype)
         wave = np.asarray(wave)[: t * FRAME_SHIFT
                                 + (FRAME_LENGTH - FRAME_SHIFT)]
         return (np.trunc(wave).astype(np.int16), np.asarray(recon)[:t],
@@ -182,14 +217,16 @@ def enhance_utterance(wts_path, norm_path, noisy_wave: np.ndarray
 
 
 def decode_files(wts_path, norm_path, wav_paths: list, out_dir,
-                 clean_paths: list | None = None, log=print) -> list[dict]:
+                 clean_paths: list | None = None, log=print,
+                 mesh=None) -> list[dict]:
     """decode.m batch loop: enhance each wav, write *_enhanced.wav + info.
 
     With ``clean_paths`` given, per-utterance SegSNR/LSD (enhanced and noisy
     baselines) are computed as ``LPS2Wav_be`` writes to info.txt.
+    ``mesh`` shards each utterance's frame axis across the data axis.
     """
     os.makedirs(out_dir, exist_ok=True)
-    enh = Enhancer(wts_path, norm_path)
+    enh = Enhancer(wts_path, norm_path, mesh=mesh)
     results = []
     for i, path in enumerate(wav_paths):
         noisy, sr = read_wav(path)
