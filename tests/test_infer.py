@@ -57,7 +57,8 @@ def test_decode_files_with_metrics(reference_dir, identity_model, tmp_path):
     results = decode_files(
         wts, norm,
         [reference_dir / NOISY_DEMO], str(tmp_path / "out"),
-        clean_paths=[reference_dir / CLEAN_DEMO], log=lambda s: None)
+        clean_paths=[reference_dir / CLEAN_DEMO], log=lambda s: None,
+        noisy_info=True)
     r = results[0]
     assert os.path.exists(r["out"])
     # The random model can't beat the noisy baseline, but all four metrics
@@ -65,10 +66,13 @@ def test_decode_files_with_metrics(reference_dir, identity_model, tmp_path):
     for key in ("segsnr", "segsnr_noisy", "lsd", "lsd_noisy"):
         assert np.isfinite(r[key])
     assert -20.0 <= r["segsnr"] <= 30.0
-    info = open(os.path.join(tmp_path / "out",
-                             os.path.basename(str(reference_dir / NOISY_DEMO))
-                             .replace(".wav", "") + ".info.txt")).read()
+    stem = os.path.basename(str(reference_dir / NOISY_DEMO)).replace(
+        ".wav", "")
+    info = open(os.path.join(tmp_path / "out", stem + ".info.txt")).read()
     assert "Segmental SNR" in info
+    # -ni flag: noisy baseline in its own file (LogSpec2Wav.c:843-861)
+    ninfo = open(os.path.join(tmp_path / "out", stem + ".noisy.info")).read()
+    assert f"{r['segsnr_noisy']:f}" in ninfo
 
 
 def test_demo_pairs_have_consistent_framing(reference_dir):

@@ -245,7 +245,8 @@ def cmd_decode(args) -> int:
         from tpu_se.parallel import make_mesh
 
         mesh = make_mesh(args.mesh_data, 1)
-    decode_files(args.wts, args.norm, wavs, args.out_dir, cleans, mesh=mesh)
+    decode_files(args.wts, args.norm, wavs, args.out_dir, cleans, mesh=mesh,
+                 noisy_info=args.ni)
     return 0
 
 
@@ -376,6 +377,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--mesh-data", type=int, default=1,
                    help="shard the frame axis across this many devices "
                         "(data-parallel batch decode)")
+    s.add_argument("--ni", action="store_true",
+                   help="also write noisy-baseline SegSNR/LSD to a "
+                        "separate .noisy.info file (LPS2Wav_be -ni)")
     s.set_defaults(func=cmd_decode)
     return p
 

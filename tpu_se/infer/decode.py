@@ -218,11 +218,13 @@ def enhance_utterance(wts_path, norm_path, noisy_wave: np.ndarray
 
 def decode_files(wts_path, norm_path, wav_paths: list, out_dir,
                  clean_paths: list | None = None, log=print,
-                 mesh=None) -> list[dict]:
+                 mesh=None, noisy_info: bool = False) -> list[dict]:
     """decode.m batch loop: enhance each wav, write *_enhanced.wav + info.
 
     With ``clean_paths`` given, per-utterance SegSNR/LSD (enhanced and noisy
     baselines) are computed as ``LPS2Wav_be`` writes to info.txt.
+    ``noisy_info`` additionally writes the noisy baseline to a separate
+    ``<stem>.noisy.info`` file (the ``-ni`` flag, ``LogSpec2Wav.c:843-861``).
     ``mesh`` shards each utterance's frame axis across the data axis.
     """
     os.makedirs(out_dir, exist_ok=True)
@@ -242,6 +244,12 @@ def decode_files(wts_path, norm_path, wav_paths: list, out_dir,
             with open(os.path.join(out_dir, stem + ".info.txt"), "w") as f:
                 f.write("Segmental SNR:\n%f\n" % info["segsnr"])
                 f.write("Log-Spectral Distortion:\n%f\n" % info["lsd"])
+            if noisy_info:
+                with open(os.path.join(out_dir, stem + ".noisy.info"),
+                          "w") as f:
+                    f.write("Segmental SNR:\n%f\n" % info["segsnr_noisy"])
+                    f.write("Log-Spectral Distortion:\n%f\n"
+                            % info["lsd_noisy"])
             log(f"{stem}: segsnr={info['segsnr']:.2f} "
                 f"(noisy {info['segsnr_noisy']:.2f}) "
                 f"lsd={info['lsd']:.2f} (noisy {info['lsd_noisy']:.2f})")
