@@ -135,6 +135,27 @@ def test_cli_gen_rand_net(tmp_path):
     assert layers[0]["w"].shape == (21, 16)
 
 
+def test_batch_decode_matches_single(identity_model):
+    """enhance_batch over mixed-length utterances == per-utterance enhance
+    (incl. a zero-length one and batch padding)."""
+    from tpu_se.infer import Enhancer
+
+    wts, norm = identity_model
+    rng = np.random.default_rng(3)
+    waves = [(rng.normal(size=n) * 2000).astype(np.int16)
+             for n in (9000, 16000, 0, 4000, 12345)]
+    enh = Enhancer(wts, norm)
+    batched = enh.enhance_batch(waves)
+    for wave, got in zip(waves, batched):
+        want = enh.enhance(wave)
+        assert got[0].shape == want[0].shape
+        if len(wave) == 0:
+            continue
+        assert np.abs(got[0].astype(np.int32)
+                      - want[0].astype(np.int32)).max() <= 1
+        np.testing.assert_allclose(got[2], want[2], rtol=1e-5, atol=1e-5)
+
+
 def test_cli_pfile_info(reference_dir):
     pf = str(reference_dir / "tools_pfile/train_noisy.pfile")
     r = _cli("pfile-info", pf, "--sents")

@@ -119,6 +119,31 @@ def test_sharded_decode_matches_single(devices8, tmp_path):
     assert np.abs(w8.astype(np.int32) - w1.astype(np.int32)).max() <= 1
 
 
+def test_sharded_batch_decode_matches_single(devices8, tmp_path):
+    """enhance_batch with the batch axis sharded over the data mesh ==
+    unsharded per-utterance decode."""
+    from tpu_se.infer import Enhancer
+    from tpu_se.io import write_norm, write_wts
+    from tpu_se.models import params_to_wts
+
+    params = init_params(13, (1799, 32, 32, 257))
+    wts, norm = str(tmp_path / "m.wts"), str(tmp_path / "m.norm")
+    write_wts(wts, params_to_wts(params))
+    rng = np.random.default_rng(4)
+    write_norm(norm, rng.normal(size=257).astype(np.float32),
+               (0.5 + rng.random(257)).astype(np.float32))
+    waves = [(rng.normal(size=n) * 3000).astype(np.int16)
+             for n in (8000, 12000, 5000)]
+
+    single = Enhancer(wts, norm)
+    sharded = Enhancer(wts, norm, mesh=make_mesh(8, 1))
+    for wave, got in zip(waves, sharded.enhance_batch(waves)):
+        want = single.enhance(wave)
+        assert np.abs(got[0].astype(np.int32)
+                      - want[0].astype(np.int32)).max() <= 1
+        np.testing.assert_allclose(got[2], want[2], rtol=1e-5, atol=1e-5)
+
+
 def test_graft_entry_contract(devices8):
     import __graft_entry__ as ge
 

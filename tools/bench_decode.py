@@ -26,6 +26,9 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=448,
                     help="frames per utterance (~7.2 s at 16 kHz)")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=16,
+                    help="also bench enhance_batch at this batch size "
+                         "(0 = skip)")
     args = ap.parse_args()
 
     import jax
@@ -74,6 +77,24 @@ def main() -> int:
     print(f"decode throughput: {fps:,.0f} frames/s = {audio_rate:,.0f}x "
           f"real-time ({dt / (args.reps * args.utts) * 1e3:.1f} ms per "
           f"{n_samples / sr:.1f} s utterance)")
+
+    # Batched mode: B utterances per device program (one transfer).
+    if args.batch > 1:
+        batches = [utts[lo: lo + args.batch]
+                   for lo in range(0, len(utts), args.batch)]
+        enh.enhance_batch(batches[0])      # warm-up
+        t0 = time.perf_counter()
+        total_frames = 0
+        for _ in range(args.reps):
+            for b in batches:
+                outs = enh.enhance_batch(b)
+                total_frames += sum(o[2].shape[0] for o in outs)
+        _ = int(outs[-1][0][-1])
+        dt = time.perf_counter() - t0
+        bfps = total_frames / dt
+        print(f"batched (B={args.batch}): {bfps:,.0f} frames/s = "
+              f"{bfps * shift / sr:,.0f}x real-time "
+              f"({bfps / fps:.2f}x vs per-utterance)")
     return 0
 
 

@@ -246,7 +246,7 @@ def cmd_decode(args) -> int:
 
         mesh = make_mesh(args.mesh_data, 1)
     decode_files(args.wts, args.norm, wavs, args.out_dir, cleans, mesh=mesh,
-                 noisy_info=args.ni)
+                 noisy_info=args.ni, batch_size=args.batch)
     return 0
 
 
@@ -380,6 +380,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--ni", action="store_true",
                    help="also write noisy-baseline SegSNR/LSD to a "
                         "separate .noisy.info file (LPS2Wav_be -ni)")
+    s.add_argument("--batch", type=int, default=0,
+                   help="decode this many utterances per device program "
+                        "(amortizes dispatch/transfer overhead)")
     s.set_defaults(func=cmd_decode)
     return p
 

@@ -54,12 +54,10 @@ def _enhance_lps(params, lps: jax.Array, mean: jax.Array, inv_std: jax.Array,
     return out / inv_std + mean
 
 
-@functools.partial(jax.jit, static_argnames=("frame_shift", "context",
-                                              "compute_dtype"))
-def _decode_device(params, frames: jax.Array, mean: jax.Array,
-                   inv_std: jax.Array, n_valid: jax.Array,
-                   frame_shift: int = FRAME_SHIFT, context: int = 7,
-                   compute_dtype=jnp.float32):
+def _decode_core(params, frames: jax.Array, mean: jax.Array,
+                 inv_std: jax.Array, n_valid: jax.Array,
+                 frame_shift: int = FRAME_SHIFT, context: int = 7,
+                 compute_dtype=jnp.float32):
     """The WHOLE decode pipeline as one device program: noisy frames ->
     (OLA waveform, de-windowed recon frames, enhanced LPS).
 
@@ -73,6 +71,28 @@ def _decode_device(params, frames: jax.Array, mean: jax.Array,
     valid = (jnp.arange(frames.shape[0]) < n_valid).astype(jnp.float32)
     wave, recon = _synth_and_ola(enh, frames, valid, frame_shift)
     return wave, recon, enh
+
+
+_decode_device = functools.partial(
+    jax.jit, static_argnames=("frame_shift", "context", "compute_dtype")
+)(_decode_core)
+
+
+@functools.partial(jax.jit, static_argnames=("frame_shift", "context",
+                                              "compute_dtype"))
+def _decode_device_batch(params, frames: jax.Array, mean: jax.Array,
+                         inv_std: jax.Array, n_valid: jax.Array,
+                         frame_shift: int = FRAME_SHIFT, context: int = 7,
+                         compute_dtype=jnp.float32):
+    """Batched decode: frames [B, T, len], n_valid [B] -> vmapped
+    `_decode_core`. One transfer and one program for B utterances — the
+    per-utterance dispatch/transfer overhead is amortized across the
+    batch (the reference decodes strictly one utterance per process,
+    ``decode.m:24-68``)."""
+    return jax.vmap(
+        lambda f, nv: _decode_core(params, f, mean, inv_std, nv,
+                                   frame_shift, context, compute_dtype)
+    )(frames, n_valid)
 
 
 SWITCHPOINT = 36          # LogSpec2Wav.c:76 — low/high band split
@@ -210,6 +230,62 @@ class Enhancer:
         return (np.trunc(wave).astype(np.int16), np.asarray(recon)[:t],
                 np.asarray(enh)[:t])
 
+    BATCH_BUCKET = 4
+
+    def enhance_batch(self, waves: list
+                      ) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Enhance B utterances in ONE device program / transfer.
+
+        Utterances are padded to a shared frame bucket and the batch to a
+        multiple of BATCH_BUCKET (and of the mesh data axis), so repeated
+        calls with similar workloads reuse compiled programs. Output is
+        identical to per-utterance ``enhance`` (``tests/test_infer.py``).
+        The host-side postprocess/smooth options fall back to the staged
+        per-utterance path.
+        """
+        if self.smooth or self.postprocess or not waves:
+            return [self.enhance(w) for w in waves]
+        frames = [frame_signal(w) for w in waves]
+        ts = [f.shape[0] for f in frames]
+        if max(ts) == 0:
+            return [self.enhance(w) for w in waves]
+        bucket = self._pad_bucket(FRAME_BUCKET)
+        t_pad = -(-max(ts) // bucket) * bucket
+        b_bucket = self.BATCH_BUCKET
+        if self.mesh is not None:
+            b_bucket = -(-b_bucket // self._n_data) * self._n_data
+        b_pad = -(-len(waves) // b_bucket) * b_bucket
+        frames_b = np.zeros((b_pad, t_pad, FRAME_LENGTH), dtype=np.float32)
+        for i, f in enumerate(frames):
+            frames_b[i, : ts[i]] = f
+        n_valid = np.zeros(b_pad, dtype=np.int32)
+        n_valid[: len(ts)] = ts
+        frames_j, n_valid_j = jnp.asarray(frames_b), jnp.asarray(n_valid)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            frames_j = jax.device_put(
+                frames_j, NamedSharding(self.mesh, P("data", None, None)))
+            n_valid_j = jax.device_put(
+                n_valid_j, NamedSharding(self.mesh, P("data")))
+        wave_b, recon_b, enh_b = _decode_device_batch(
+            self.params, frames_j, self.mean, self.inv_std, n_valid_j,
+            FRAME_SHIFT, self.context, self.compute_dtype)
+        wave_b = np.asarray(wave_b)
+        recon_b, enh_b = np.asarray(recon_b), np.asarray(enh_b)
+        out = []
+        tail = FRAME_LENGTH - FRAME_SHIFT
+        for i, t in enumerate(ts):
+            if t == 0:
+                out.append((np.zeros(0, np.int16),
+                            np.zeros((0, FRAME_LENGTH), np.float32),
+                            np.zeros((0, NUM_BINS), np.float32)))
+                continue
+            wave = np.trunc(wave_b[i, : t * FRAME_SHIFT + tail]
+                            ).astype(np.int16)
+            out.append((wave, recon_b[i, :t], enh_b[i, :t]))
+        return out
+
 
 def enhance_utterance(wts_path, norm_path, noisy_wave: np.ndarray
                       ) -> np.ndarray:
@@ -218,21 +294,33 @@ def enhance_utterance(wts_path, norm_path, noisy_wave: np.ndarray
 
 def decode_files(wts_path, norm_path, wav_paths: list, out_dir,
                  clean_paths: list | None = None, log=print,
-                 mesh=None, noisy_info: bool = False) -> list[dict]:
+                 mesh=None, noisy_info: bool = False,
+                 batch_size: int = 0) -> list[dict]:
     """decode.m batch loop: enhance each wav, write *_enhanced.wav + info.
 
     With ``clean_paths`` given, per-utterance SegSNR/LSD (enhanced and noisy
     baselines) are computed as ``LPS2Wav_be`` writes to info.txt.
     ``noisy_info`` additionally writes the noisy baseline to a separate
     ``<stem>.noisy.info`` file (the ``-ni`` flag, ``LogSpec2Wav.c:843-861``).
-    ``mesh`` shards each utterance's frame axis across the data axis.
+    ``mesh`` shards decode across the data axis (the frame axis per
+    utterance, or the batch axis with ``batch_size``). ``batch_size`` > 1
+    decodes that many utterances per device program (``enhance_batch``).
     """
     os.makedirs(out_dir, exist_ok=True)
     enh = Enhancer(wts_path, norm_path, mesh=mesh)
+    waves_srs = [read_wav(p) for p in wav_paths]
+    if batch_size > 1:
+        outputs = []
+        for lo in range(0, len(waves_srs), batch_size):
+            outputs.extend(enh.enhance_batch(
+                [w for w, _ in waves_srs[lo: lo + batch_size]]))
+    else:
+        outputs = None
     results = []
     for i, path in enumerate(wav_paths):
-        noisy, sr = read_wav(path)
-        wave, recon, enh_lps = enh.enhance(noisy)
+        noisy, sr = waves_srs[i]
+        wave, recon, enh_lps = (outputs[i] if outputs is not None
+                                else enh.enhance(noisy))
         stem = os.path.splitext(os.path.basename(str(path)))[0]
         out_path = os.path.join(out_dir, stem + "_enhanced.wav")
         write_wav(out_path, wave, sr)
