@@ -70,8 +70,10 @@ def test_decode_files_with_metrics(reference_dir, identity_model, tmp_path):
         ".wav", "")
     info = open(os.path.join(tmp_path / "out", stem + ".info.txt")).read()
     assert "Segmental SNR" in info
-    # -ni flag: noisy baseline in its own file (LogSpec2Wav.c:843-861)
-    ninfo = open(os.path.join(tmp_path / "out", stem + ".noisy.info")).read()
+    # -ni flag: noisy baseline in its own <input-name>.info file, named as
+    # LogSpec2Wav.c:846-847 does but placed in out_dir (see decode_files)
+    ni_name = os.path.basename(str(reference_dir / NOISY_DEMO)) + ".info"
+    ninfo = open(os.path.join(tmp_path / "out", ni_name)).read()
     assert f"{r['segsnr_noisy']:f}" in ninfo
 
 

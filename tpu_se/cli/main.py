@@ -145,7 +145,13 @@ def cmd_eval(args) -> int:
 
     cleans = _read_scp(args.clean_scp) if args.clean_scp else args.clean
     tests = _read_scp(args.test_scp) if args.test_scp else args.test
-    rows = score_files(cleans, tests)
+    if not cleans or not tests:
+        raise SystemExit("eval: give matching --clean/--test wavs "
+                         "(or --clean-scp/--test-scp lists)")
+    try:
+        rows = score_files(cleans, tests)
+    except ValueError as e:
+        raise SystemExit(f"eval: {e}")
     if args.json:
         for row in rows:
             print(json.dumps(row))
@@ -218,6 +224,14 @@ def cmd_decode(args) -> int:
     wavs = _read_scp(args.scp) if args.scp else args.wav
     cleans = _read_scp(args.clean_scp) if args.clean_scp else None
     if args.stream:
+        ignored = [name for name, val in (("--mesh-data", args.mesh_data > 1),
+                                          ("--ni", args.ni),
+                                          ("--batch", args.batch > 0),
+                                          ("--clean-scp", cleans is not None))
+                   if val]
+        if ignored:
+            print(f"warning: --stream ignores {', '.join(ignored)}",
+                  file=sys.stderr)
         import numpy as np
 
         from tpu_se.infer import StreamingEnhancer
@@ -379,7 +393,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(data-parallel batch decode)")
     s.add_argument("--ni", action="store_true",
                    help="also write noisy-baseline SegSNR/LSD to a "
-                        "separate .noisy.info file (LPS2Wav_be -ni)")
+                        "separate <input-name>.info file in --out-dir "
+                        "(LPS2Wav_be -ni writes it beside the input; "
+                        "we keep the filename, relocate to out-dir)")
     s.add_argument("--batch", type=int, default=0,
                    help="decode this many utterances per device program "
                         "(amortizes dispatch/transfer overhead)")

@@ -238,8 +238,9 @@ class Enhancer:
 
         Utterances are padded to a shared frame bucket and the batch to a
         multiple of BATCH_BUCKET (and of the mesh data axis), so repeated
-        calls with similar workloads reuse compiled programs. Output is
-        identical to per-utterance ``enhance`` (``tests/test_infer.py``).
+        calls with similar workloads reuse compiled programs. Output
+        matches per-utterance ``enhance`` within 1 int16 LSB — vmap may
+        change fp reduction order (``tests/test_infer.py``).
         The host-side postprocess/smooth options fall back to the staged
         per-utterance path.
         """
@@ -301,24 +302,29 @@ def decode_files(wts_path, norm_path, wav_paths: list, out_dir,
     With ``clean_paths`` given, per-utterance SegSNR/LSD (enhanced and noisy
     baselines) are computed as ``LPS2Wav_be`` writes to info.txt.
     ``noisy_info`` additionally writes the noisy baseline to a separate
-    ``<stem>.noisy.info`` file (the ``-ni`` flag, ``LogSpec2Wav.c:843-861``).
+    ``<input-filename>.info`` file (the ``-ni`` flag,
+    ``LogSpec2Wav.c:843-861``). The reference writes that file beside the
+    noisy input; we keep the same filename convention but place it in
+    ``out_dir`` so read-only input trees still decode.
     ``mesh`` shards decode across the data axis (the frame axis per
     utterance, or the batch axis with ``batch_size``). ``batch_size`` > 1
-    decodes that many utterances per device program (``enhance_batch``).
+    decodes that many utterances per device program (``enhance_batch``);
+    the default path streams one utterance at a time to bound host memory.
     """
     os.makedirs(out_dir, exist_ok=True)
     enh = Enhancer(wts_path, norm_path, mesh=mesh)
-    waves_srs = [read_wav(p) for p in wav_paths]
     if batch_size > 1:
+        waves_srs = [read_wav(p) for p in wav_paths]
         outputs = []
         for lo in range(0, len(waves_srs), batch_size):
             outputs.extend(enh.enhance_batch(
                 [w for w, _ in waves_srs[lo: lo + batch_size]]))
     else:
-        outputs = None
+        waves_srs = outputs = None
     results = []
     for i, path in enumerate(wav_paths):
-        noisy, sr = waves_srs[i]
+        noisy, sr = (waves_srs[i] if waves_srs is not None
+                     else read_wav(path))
         wave, recon, enh_lps = (outputs[i] if outputs is not None
                                 else enh.enhance(noisy))
         stem = os.path.splitext(os.path.basename(str(path)))[0]
@@ -333,8 +339,10 @@ def decode_files(wts_path, norm_path, wav_paths: list, out_dir,
                 f.write("Segmental SNR:\n%f\n" % info["segsnr"])
                 f.write("Log-Spectral Distortion:\n%f\n" % info["lsd"])
             if noisy_info:
-                with open(os.path.join(out_dir, stem + ".noisy.info"),
-                          "w") as f:
+                # LogSpec2Wav.c:846-847 names this <noisy-input>.info; we
+                # keep the filename but write into out_dir (see docstring).
+                ni_name = os.path.basename(str(path)) + ".info"
+                with open(os.path.join(out_dir, ni_name), "w") as f:
                     f.write("Segmental SNR:\n%f\n" % info["segsnr_noisy"])
                     f.write("Log-Spectral Distortion:\n%f\n"
                             % info["lsd_noisy"])
