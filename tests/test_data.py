@@ -46,6 +46,152 @@ def test_plan_multi_chunk_boundaries():
         np.testing.assert_array_equal(sent_of_start, sent_of_end)
 
 
+# --- exact-parity oracle: a line-by-line transcription of the reference ---
+# Interface::get_chunk_info (Train_code_ML_GGD/Interface.cc:588-650); used
+# the same way tests/test_train.py transcribes the CUDA update math.
+
+def _ref_get_chunk_info(frames_before_sent, sent_st, sent_en,
+                        fea_context, traincache):
+    total_frames = int(frames_before_sent[-1])
+    cur_frame_id = (0 if sent_st == 0
+                    else int(frames_before_sent[sent_st - 1]))
+    chunk_frame_st = [cur_frame_id]
+    cur_chunk_frames = 0
+    for sentid in range(sent_st, sent_en + 1):
+        frames_inc = int(frames_before_sent[sentid]) - cur_frame_id
+        cur_frame_id = int(frames_before_sent[sentid])
+        if frames_inc >= fea_context:
+            cur_frames_lost = fea_context - 1
+        else:
+            cur_frames_lost = frames_inc        # Interface.cc:632-635
+        cur_chunk_frames += frames_inc - cur_frames_lost
+        while cur_chunk_frames >= traincache:   # Interface.cc:638-646
+            next_st = cur_frame_id - (cur_chunk_frames - traincache)
+            # next_st == total_frames would spin forever in the reference
+            # (the guard skips the append but the loop condition never
+            # changes); keep the oracle honest by refusing that input.
+            assert next_st < total_frames, "reference infinite-loop input"
+            chunk_frame_st.append(next_st)
+            cur_chunk_frames = (cur_frame_id - next_st - fea_context + 1
+                                if cur_frame_id - next_st > fea_context - 1
+                                else 0)
+    total_chunks = len(chunk_frame_st)
+    total_samples = (total_chunks - 1) * traincache + cur_chunk_frames
+    return chunk_frame_st, total_samples
+
+
+def _ref_chunk_extents(chunk_frame_st, total_samples, frames_before_sent,
+                       sent_en, traincache):
+    """Per-chunk (end, samples) as Readchunk derives them
+    (Interface.cc:737-744)."""
+    n = len(chunk_frame_st)
+    ends, samples = [], []
+    for ci in range(n):
+        if ci == n - 1:
+            ends.append(int(frames_before_sent[sent_en]))
+            samples.append(total_samples - traincache * ci)
+        else:
+            ends.append(chunk_frame_st[ci + 1])
+            samples.append(traincache)
+    return ends, samples
+
+
+def _ref_window_starts(chunk_st, frames_need_read, frames_before_sent,
+                       fea_context):
+    """Absolute window starts in Readchunk's extraction order
+    (Interface.cc:771-790: per-sentence segment, clipped at the chunk end)."""
+    starts = []
+    cur_sent = int(np.searchsorted(frames_before_sent, chunk_st,
+                                   side="right"))
+    frames_processed = 0
+    cur_frame_id = chunk_st
+    while frames_processed != frames_need_read:
+        if frames_before_sent[cur_sent] > frames_need_read + chunk_st:
+            cur_frame_of_sent = frames_need_read - frames_processed
+        else:
+            cur_frame_of_sent = int(frames_before_sent[cur_sent]) - cur_frame_id
+        for j in range(cur_frame_of_sent - fea_context + 1):
+            starts.append(chunk_st + frames_processed + j)
+        cur_frame_id = int(frames_before_sent[cur_sent])
+        cur_sent += 1
+        frames_processed += cur_frame_of_sent
+    return np.asarray(starts, dtype=np.int64)
+
+
+@pytest.mark.parametrize("sent_range,traincache", [
+    ((0, 7), 102400),   # finetune.pl config: one chunk
+    ((0, 7), 100),      # straddles most sentences
+    ((0, 9), 100),
+    ((0, 9), 128),
+    ((0, 9), 250),
+    ((2, 8), 97),
+    ((8, 9), 102400),   # CV range
+    ((8, 9), 50),
+])
+def test_plan_matches_reference_transcription(sent_range, traincache):
+    """plan_chunks == a numpy transcription of Interface::get_chunk_info,
+    exactly: per-chunk frame_start, frame_end, and n_samples."""
+    lo, hi = sent_range
+    ref_starts, ref_total = _ref_get_chunk_info(
+        SENT_ENDS, lo, hi, 7, traincache)
+    ref_ends, ref_samples = _ref_chunk_extents(
+        ref_starts, ref_total, SENT_ENDS, hi, traincache)
+    # The reference can plan a trailing 0-sample chunk; plan_chunks drops it
+    # (it trains nothing). Compare on the non-degenerate prefix.
+    if ref_samples and ref_samples[-1] == 0:
+        ref_starts, ref_ends, ref_samples = (
+            ref_starts[:-1], ref_ends[:-1], ref_samples[:-1])
+        ref_ends[-1] = int(SENT_ENDS[hi])
+
+    plan = plan_chunks(SENT_ENDS, sent_range, traincache=traincache,
+                       context=7)
+    np.testing.assert_array_equal(plan.frame_start, ref_starts)
+    np.testing.assert_array_equal(plan.n_samples, ref_samples)
+    assert plan.total_samples == sum(ref_samples)
+    # frame_end: interior chunks end where the next starts; the last ends at
+    # the range's final frame — Readchunk's frames_need_read extents.
+    np.testing.assert_array_equal(
+        plan.frame_end - plan.frame_start,
+        np.asarray(ref_ends) - np.asarray(ref_starts))
+    # Window starts per chunk match Readchunk's extraction loop exactly.
+    for ci in range(plan.n_chunks):
+        ref_w = _ref_window_starts(
+            ref_starts[ci], ref_ends[ci] - ref_starts[ci], SENT_ENDS, 7)
+        np.testing.assert_array_equal(sentence_windows(plan, ci), ref_w)
+
+
+def test_plan_drops_reference_zero_sample_trailing_chunk():
+    """When samples hit an exact traincache multiple at the range end, the
+    reference plans a final chunk with 0 samples (next_st == range end but
+    < total_frames); plan_chunks drops it. Find such a case on the fixture
+    tails and pin both behaviors."""
+    found = 0
+    for traincache in range(40, 400):
+        ref_starts, ref_total = _ref_get_chunk_info(
+            SENT_ENDS, 0, 7, 7, traincache)
+        _, ref_samples = _ref_chunk_extents(
+            ref_starts, ref_total, SENT_ENDS, 7, traincache)
+        if ref_samples[-1] == 0:
+            found += 1
+            plan = plan_chunks(SENT_ENDS, (0, 7), traincache=traincache,
+                               context=7)
+            assert plan.n_chunks == len(ref_starts) - 1
+            np.testing.assert_array_equal(plan.frame_start, ref_starts[:-1])
+            assert (plan.n_samples == traincache).all()
+    assert found > 0   # the case exists on the bundled tails
+
+
+def test_fixture_lens_match_bundled_pfile(reference_dir):
+    """Pin FIXTURE_LENS to the actual bundled pfile's cumulative tail, so
+    the oracle tests above run against the real artifact's geometry."""
+    from tpu_se.io import read_pfile_meta
+
+    n_sents, n_frames, dim, ends = read_pfile_meta(
+        reference_dir / "tools_pfile/train_noisy.pfile")
+    assert (n_sents, n_frames, dim) == (10, 1885, 257)
+    np.testing.assert_array_equal(ends, SENT_ENDS)
+
+
 def test_plan_cv_range():
     plan = plan_chunks(SENT_ENDS, (8, 9), traincache=102400, context=7)
     assert plan.total_samples == (190 - 6) + (204 - 6)
