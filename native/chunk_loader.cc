@@ -31,6 +31,12 @@ extern "C" {
 // byte-swapping and normalizing with (mean, inv_std): out = (x-mean)*inv.
 // Rows on disk are (2 + dim) big-endian 32-bit words (sent id, frame id,
 // features).  Returns 0 on success.
+//
+// Bulk reads in ~4 MB blocks (vs the reference's one fread per row,
+// Interface.cc:746-766): one fread spanning thousands of rows, then a
+// vectorizable swap+normalize sweep per block.  Blocked rather than one
+// whole-span read so a full traincache chunk (~106 MB of raw rows) never
+// doubles transient host memory.
 int tpuse_read_chunk_normalized(const char* path, int64_t header_size,
                                 int64_t dim, int64_t frame_lo,
                                 int64_t frame_hi, const float* mean,
@@ -43,16 +49,23 @@ int tpuse_read_chunk_normalized(const char* path, int64_t header_size,
     std::fclose(f);
     return 2;
   }
-  uint32_t* buf = new uint32_t[row_words];
-  for (int64_t i = 0; i < n; ++i) {
-    if (std::fread(buf, 4, row_words, f) != static_cast<size_t>(row_words)) {
+  const int64_t kBlockRows =
+      (4 << 20) / (row_words * 4) > 0 ? (4 << 20) / (row_words * 4) : 1;
+  uint32_t* buf = new uint32_t[kBlockRows * row_words];
+  for (int64_t lo = 0; lo < n; lo += kBlockRows) {
+    const int64_t rows = (n - lo < kBlockRows) ? (n - lo) : kBlockRows;
+    if (std::fread(buf, row_words * 4, rows, f) !=
+        static_cast<size_t>(rows)) {
       delete[] buf;
       std::fclose(f);
       return 3;
     }
-    float* dst = out + i * dim;
-    for (int64_t j = 0; j < dim; ++j) {
-      dst[j] = (bswap_f32(buf[2 + j]) - mean[j]) * inv_std[j];
+    for (int64_t i = 0; i < rows; ++i) {
+      const uint32_t* src = buf + i * row_words + 2;
+      float* dst = out + (lo + i) * dim;
+      for (int64_t j = 0; j < dim; ++j) {
+        dst[j] = (bswap_f32(src[j]) - mean[j]) * inv_std[j];
+      }
     }
   }
   delete[] buf;
