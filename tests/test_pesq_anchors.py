@@ -1,0 +1,158 @@
+"""PESQ anchor-matrix and cross-metric calibration tests.
+
+The native P.862 implementation (``tpu_se/infer/pesq.py``) is used to rank
+enhancement systems like the paper does (README.md:3, 155-158); these tests
+pin its behavior across a degradation matrix — noise types x SNRs x level
+offsets, plus reverberation — and check rank agreement with STOI over the
+reference's 56 Enh_demos wavs, so a silently wrong constant can't reorder
+close systems unnoticed.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu_se.infer.pesq import pesq
+from tpu_se.infer.stoi import stoi
+from tpu_se.io import read_wav
+
+FS = 16000
+N = 32000
+
+
+def _speechlike(n=N, fs=FS, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / fs
+    x = sum(np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28)) * a
+            for f, a in ((220, 1.0), (440, 0.7), (880, 0.4),
+                         (1760, 0.2), (3000, 0.1)))
+    envelope = np.clip(np.sin(2 * np.pi * 2.5 * t), 0, None)
+    return (x * envelope * 8000).astype(np.float64)
+
+
+def _noise_bank(n=N, fs=FS, seed=7):
+    """Four qualitatively different degradations (unit-free shapes)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / fs
+    white = rng.normal(size=n)
+    spec = np.fft.rfft(rng.normal(size=n))
+    f = np.fft.rfftfreq(n, 1 / fs)
+    f[0] = 1.0
+    pink = np.fft.irfft(spec / np.sqrt(f), n)
+    hum = sum(np.sin(2 * np.pi * 50 * k * t + k) / k for k in range(1, 6))
+    babble = rng.normal(size=n) * (
+        0.3 + 0.7 * np.clip(np.sin(2 * np.pi * 4 * t + 1), 0, None))
+    return {"white": white, "pink": pink, "hum": hum, "babble": babble}
+
+
+def _add_noise(x, noise, snr_db):
+    noise = noise / np.sqrt((noise ** 2).mean() / (x ** 2).mean())
+    return x + noise * 10.0 ** (-snr_db / 20.0)
+
+
+SNRS = (30, 20, 10, 0)
+
+
+def _anchor_matrix():
+    """{(noise, snr): MOS-LQO} over the full degradation grid."""
+    x = _speechlike()
+    return {(name, snr): pesq(x, _add_noise(x, nz, snr))
+            for name, nz in _noise_bank().items() for snr in SNRS}
+
+
+def test_anchor_matrix_monotone_and_in_range():
+    scores = _anchor_matrix()
+    for name in ("white", "pink", "hum", "babble"):
+        row = [scores[(name, snr)] for snr in SNRS]
+        assert all(a > b for a, b in zip(row, row[1:])), (name, row)
+        # P.862.2 MOS-LQO range with a margin
+        assert all(1.0 <= s <= 4.7 for s in row), (name, row)
+        # 30 dB vs 0 dB must be clearly separated
+        assert row[0] - row[-1] > 0.9, (name, row)
+    # broadband noise hurts more than narrowband hum at equal SNR
+    for snr in SNRS:
+        assert scores[("hum", snr)] > scores[("white", snr)], snr
+
+
+def test_level_offsets_do_not_move_scores():
+    """P.862 level alignment: a +/-10 dB gain on the degraded signal must
+    leave MOS-LQO essentially unchanged (we measure < 0.05 MOS drift)."""
+    x = _speechlike()
+    deg = _add_noise(x, _noise_bank()["white"], 10)
+    base = pesq(x, deg)
+    for off_db in (-10.0, -3.0, 3.0, 10.0):
+        s = pesq(x, deg * 10.0 ** (off_db / 20.0))
+        assert abs(s - base) < 0.05, (off_db, s, base)
+
+
+def test_reverb_monotone():
+    """Longer reverberant tails -> lower MOS-LQO (the paper's test
+    conditions include non-additive degradations; PESQ must rank them)."""
+    x = _speechlike()
+    rng = np.random.default_rng(11)
+    scores = []
+    for rt in (0.05, 0.15, 0.4):
+        m = int(rt * FS)
+        ir = rng.normal(size=m) * np.exp(-3.0 * np.arange(m) / m)
+        ir[0] = 3.0
+        scores.append(pesq(x, np.convolve(x, ir)[: len(x)]))
+    assert scores[0] > scores[1] > scores[2], scores
+    assert scores[0] > 2.5 and scores[2] < 2.0, scores
+
+
+def test_rank_correlation_with_stoi_on_demos(reference_dir):
+    """Spearman rank agreement with STOI over all 14 demo conditions x
+    {NOISY, MMSE, ML} (42 pairs, the full Enh_demos set). Measured 0.76;
+    assert a safe floor so regressions that scramble rankings fail."""
+    demos = os.path.join(reference_dir, "Enh_demos")
+    files = os.listdir(demos)
+    conds = sorted({f.split("_CLEAN_")[0] for f in files if "_CLEAN_" in f})
+    assert len(conds) == 14
+    p_scores, s_scores = [], []
+    for cond in conds:
+        def pick(kind):
+            m = [f for f in files if f.split("_TEST")[0] == f"{cond}_{kind}"]
+            return read_wav(os.path.join(demos, m[0]))
+        clean, fs = pick("CLEAN")
+        for kind in ("NOISY", "MMSE", "ML"):
+            deg, _ = pick(kind)
+            n = min(len(clean), len(deg))
+            p_scores.append(pesq(clean[:n], deg[:n], fs))
+            s_scores.append(stoi(clean[:n], deg[:n], fs))
+
+    def rank(a):
+        r = np.empty(len(a))
+        r[np.argsort(a)] = np.arange(len(a))
+        return r
+
+    rho = np.corrcoef(rank(np.array(p_scores)),
+                      rank(np.array(s_scores)))[0, 1]
+    assert rho > 0.6, rho
+    assert 1.0 <= min(p_scores) and max(p_scores) <= 4.7
+
+
+def test_agreement_with_certified_wheel():
+    """When the ITU-certified ``pesq`` wheel is installed, the native
+    implementation must agree with it on the anchor matrix: Spearman rank
+    correlation > 0.9 and mean |MOS difference| < 0.5 (the native scores
+    are P.862-faithful in structure, not certified values)."""
+    itu = pytest.importorskip("pesq")
+    x = _speechlike()
+    ours, theirs = [], []
+    for name, nz in _noise_bank().items():
+        for snr in SNRS:
+            deg = _add_noise(x, nz, snr)
+            ours.append(pesq(x, deg))
+            theirs.append(itu.pesq(FS, x.astype(np.float32),
+                                   deg.astype(np.float32), "wb"))
+    ours, theirs = np.array(ours), np.array(theirs)
+
+    def rank(a):
+        r = np.empty(len(a))
+        r[np.argsort(a)] = np.arange(len(a))
+        return r
+
+    rho = np.corrcoef(rank(ours), rank(theirs))[0, 1]
+    assert rho > 0.9, rho
+    assert np.abs(ours - theirs).mean() < 0.5
