@@ -38,6 +38,68 @@ def _worker_env() -> dict:
     return env
 
 
+def test_two_process_full_training_matches_single_process(tmp_path):
+    """The FULL driver (`tpu_se train` CLI -> run_training: epochs, resume
+    barrier, per-host sharded input read, CV) over a 2-process gloo cluster
+    must produce the same weights as a single-process run on an identical
+    4-device mesh (VERDICT r1 #3)."""
+    port = _free_port()
+    out_dir = tmp_path / "mp_train"
+    ref = "/root/reference/tools_pfile"
+    common = [
+        sys.executable, "-m", "tpu_se", "train",
+        "--fea-file", f"{ref}/train_noisy.pfile",
+        "--targ-file", f"{ref}/train_clean.pfile",
+        "--norm-file", f"{ref}/train_noisy.norm",
+        "--layersizes", "1799,64,257", "--epochs", "2",
+        "--out-dir", str(out_dir),
+    ]
+    env = _worker_env()
+    procs = [
+        subprocess.Popen(
+            common + ["--coordinator", f"127.0.0.1:{port}",
+                      "--num-processes", "2", "--process-id", str(pid),
+                      "--cpu-collectives", "gloo"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=REPO)
+        for pid in (0, 1)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process training timed out")
+        logs.append(out)
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+    assert (out_dir / "mlp.2.wts").exists(), "\n".join(logs)
+    assert "multi-host mesh: data=4" in logs[0], logs[0]
+
+    # Single-process reference: same config on an in-process 4-device mesh.
+    import jax
+
+    from tpu_se.io.wts import read_wts
+    from tpu_se.parallel import make_mesh
+    from tpu_se.train import TrainConfig, run_training
+
+    cfg = TrainConfig(
+        fea_file=f"{ref}/train_noisy.pfile",
+        targ_file=f"{ref}/train_clean.pfile",
+        norm_file=f"{ref}/train_noisy.norm",
+        layersizes=(1799, 64, 257), epochs=2,
+        out_dir=str(tmp_path / "sp_train"),
+        mesh=make_mesh(data=4, model=1, devices=jax.devices()[:4]))
+    final = run_training(cfg, log=lambda s: None)
+
+    got = read_wts(out_dir / "mlp.2.wts")
+    want = read_wts(final)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g["w"], w["w"], rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(g["b"], w["b"], rtol=2e-5, atol=1e-6)
+
+
 def test_two_process_dp_matches_single_process(tmp_path):
     port = _free_port()
     out_npz = tmp_path / "mp_params.npz"

@@ -206,13 +206,18 @@ def cmd_train(args) -> int:
         dropout_flag=bool(args.dropoutflag),
         visible_omit=args.visible_omit, hid_omit=args.hid_omit,
         checkpoint_every_chunks=args.checkpoint_every_chunks,
+        coordinator=args.coordinator,
+        num_processes=args.num_processes, process_id=args.process_id,
+        cpu_collectives=args.cpu_collectives,
     )
     if args.init_ranges:
         vals = tuple(float(x) for x in args.init_ranges.split(","))
         if len(vals) != 4:
             raise SystemExit("--init-ranges wants w_min,w_max,b_min,b_max")
         cfg.init_ranges = vals
-    if args.mesh_data > 1 or args.mesh_model > 1:
+    # With --coordinator the mesh must be built AFTER jax.distributed init
+    # (inside run_training) so it spans the global devices.
+    if (args.mesh_data > 1 or args.mesh_model > 1) and not args.coordinator:
         from tpu_se.parallel import make_mesh
         cfg.mesh = make_mesh(args.mesh_data, args.mesh_model)
     last = run_training(cfg)
@@ -376,6 +381,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--hid-omit", type=float, default=0.1)
     s.add_argument("--mesh-data", type=int, default=1)
     s.add_argument("--mesh-model", type=int, default=1)
+    s.add_argument("--coordinator", default="",
+                   help="host:port of process 0 — joins a jax.distributed "
+                        "multi-host cluster; the step then runs SPMD over "
+                        "the global device mesh")
+    s.add_argument("--num-processes", type=int, default=None)
+    s.add_argument("--process-id", type=int, default=None)
+    s.add_argument("--cpu-collectives", default="",
+                   help="'gloo' for multi-process CPU runs (tests); "
+                        "TPU pods use ICI natively")
     s.set_defaults(func=cmd_train)
 
     s = sub.add_parser("decode", help="noisy wavs -> enhanced wavs")

@@ -154,11 +154,32 @@ class PfilePairDataset:
         lo, hi = self.frame_span()
         return (hi - lo) * (self._dim + self._clean_dim) * 4
 
-    def load_span_normalized(self) -> tuple[np.ndarray, np.ndarray]:
-        """Normalized (noisy, clean) frames for the whole range."""
+    def load_span_normalized(self, process_shard: tuple[int, int] | None = None
+                             ) -> tuple[np.ndarray, np.ndarray]:
+        """Normalized (noisy, clean) frames for the whole range.
+
+        ``process_shard=(process_index, process_count)``: multi-host input
+        sharding — this host reads only its ``shard_for_host`` slice of the
+        rows from storage and the full span is reassembled across processes
+        over the interconnect (``allgather_host_rows``).
+        """
         from concurrent.futures import ThreadPoolExecutor
 
         lo, hi = self.frame_span()
+        if process_shard is not None and process_shard[1] > 1:
+            from tpu_se.data.pipeline import shard_for_host
+            from tpu_se.parallel.distributed import allgather_host_rows
+
+            pid, pcount = process_shard
+            s = shard_for_host(hi - lo, pid, pcount)
+            with ThreadPoolExecutor(2) as pool:
+                f_n = pool.submit(self._read_normalized, self.noisy_path,
+                                  self._dim, lo + s.start, lo + s.stop)
+                f_c = pool.submit(self._read_normalized, self.clean_path,
+                                  self._clean_dim, lo + s.start, lo + s.stop)
+                n_local, c_local = f_n.result(), f_c.result()
+            return (allgather_host_rows(n_local, hi - lo, pid, pcount),
+                    allgather_host_rows(c_local, hi - lo, pid, pcount))
         with ThreadPoolExecutor(2) as pool:
             f_n = pool.submit(self._read_normalized, self.noisy_path,
                               self._dim, lo, hi)

@@ -80,6 +80,14 @@ class TrainConfig:
     device_resident_max_bytes: int = 4 << 30
     mesh: object = None              # optional jax.sharding.Mesh
     checkpoint_every_chunks: int = 0  # >0: mid-epoch partial checkpoints
+    # Multi-host runtime (jax.distributed). Set coordinator ("host:port" of
+    # process 0) on every process to join the cluster; the global mesh is
+    # built automatically when mesh is None. cpu_collectives="gloo" for
+    # multi-process CPU runs (tests / CI); TPU pods ride ICI natively.
+    coordinator: str = ""
+    num_processes: int | None = None
+    process_id: int | None = None
+    cpu_collectives: str = ""
 
     def hyper(self) -> TrainHyper:
         return TrainHyper(
@@ -117,10 +125,14 @@ def load_device_frames(dataset: PfilePairDataset, mesh=None):
 
     Returns (noisy_dev, clean_dev) for ``train_one_epoch(device_frames=...)``
     — the device-resident fast path: epochs then ship only index arrays.
+    Under a multi-host runtime, each host reads only its 1/P row shard from
+    storage (``shard_for_host``) and the span is reassembled over DCN.
     """
     import jax
 
-    noisy, clean = dataset.load_span_normalized()
+    shard = ((jax.process_index(), jax.process_count())
+             if jax.process_count() > 1 else None)
+    noisy, clean = dataset.load_span_normalized(process_shard=shard)
     noisy, clean = _pad_rows(noisy), _pad_rows(clean)
     if mesh is not None:
         from tpu_se.parallel import replicated_sharding
@@ -256,8 +268,54 @@ def evaluate_cv(state: TrainState, cv_dataset: PfilePairDataset,
             "cv_ggd_loglik": loglik, "cv_frames": n_total}
 
 
+class _SilentEpochLogger:
+    """EpochLogger stand-in for non-main processes (no file writes)."""
+
+    def __call__(self, msg: str) -> None:
+        pass
+
+    def config(self, cfg) -> None:
+        pass
+
+    def finish(self, metrics: dict) -> None:
+        pass
+
+
 def run_training(cfg: TrainConfig, log=print) -> str:
-    """Run the full multi-epoch schedule; returns the final .wts path."""
+    """Run the full multi-epoch schedule; returns the final .wts path.
+
+    Multi-host (``cfg.coordinator`` set, one process per host, mirroring the
+    per-process epoch model of ``finetune.pl``->``BPtrain`` but SPMD): every
+    process runs the same schedule over a global device mesh; per-bunch
+    gradient and GGD-alpha reductions become ICI/DCN psums via GSPMD; input
+    rows are read 1/P per host; only process 0 writes .wts/logs, with a
+    barrier after each epoch so resume-by-existence stays consistent on
+    shared storage.
+    """
+    import jax
+
+    if cfg.coordinator:
+        from tpu_se.parallel import initialize_distributed
+
+        info = initialize_distributed(
+            cfg.coordinator, cfg.num_processes, cfg.process_id,
+            cfg.cpu_collectives or None)
+        log(f"distributed: process {info['process_index']}/"
+            f"{info['process_count']}, {info['global_devices']} devices")
+    pcount = jax.process_count()
+    is_main = jax.process_index() == 0
+    if pcount > 1 and cfg.mesh is None:
+        from tpu_se.parallel import make_mesh
+
+        cfg.mesh = make_mesh(data=jax.device_count(), model=1)
+        log(f"multi-host mesh: data={jax.device_count()}")
+
+    def barrier(tag: str) -> None:
+        if pcount > 1:
+            from tpu_se.parallel.distributed import sync_processes
+
+            sync_processes(tag)
+
     os.makedirs(cfg.out_dir, exist_ok=True)
     hyper = cfg.hyper()
 
@@ -328,6 +386,8 @@ def run_training(cfg: TrainConfig, log=print) -> str:
         def save_partial(st, chunks_done, _epoch=epoch,
                          _pp=partial_path, _mp=meta_path):
             import json
+            if not is_main:
+                return
             save_checkpoint(_pp, st)
             with open(_mp, "w") as f:
                 json.dump({"epoch": _epoch, "chunks_done": chunks_done}, f)
@@ -335,7 +395,8 @@ def run_training(cfg: TrainConfig, log=print) -> str:
         lr = cfg.lr_for_epoch(epoch)
         rng = np.random.default_rng(cfg.seed_for_epoch(epoch))
         from tpu_se.utils import EpochLogger
-        elog = EpochLogger(cfg.out_dir, epoch)
+        elog = (EpochLogger(cfg.out_dir, epoch) if is_main
+                else _SilentEpochLogger())
         elog(f"epoch {epoch} lr={lr:.6g} seed={cfg.seed_for_epoch(epoch)}")
         elog.config(cfg)
         t0 = time.time()
@@ -349,10 +410,14 @@ def run_training(cfg: TrainConfig, log=print) -> str:
         metrics = evaluate_cv(state, cv_dataset, hyper,
                               device_frames=cv_frames)
         dt = time.time() - t0
-        save_checkpoint(out_path, state)
-        for p in (partial_path, partial_path + ".state.npz", meta_path):
-            if os.path.exists(p):
-                os.remove(p)
+        if is_main:
+            save_checkpoint(out_path, state)
+            for p in (partial_path, partial_path + ".state.npz", meta_path):
+                if os.path.exists(p):
+                    os.remove(p)
+        # Non-main processes must not start epoch N+1 (which loads this
+        # epoch's .wts from shared storage) before process 0 finished it.
+        barrier(f"epoch-{epoch}")
         elog.finish(metrics)
         log(f"epoch {epoch}: sq={metrics['cv_squared_error']:.1f} "
             f"abs={metrics['cv_abs_error']:.1f} "
