@@ -41,6 +41,8 @@ def main() -> int:
                     help="hidden width (0 = 2048 on TPU, 256 on CPU)")
     ap.add_argument("--cpu", action="store_true",
                     help="force virtual CPU devices")
+    ap.add_argument("--json", action="store_true",
+                    help="emit one JSON line (committed to benchmarks/)")
     args = ap.parse_args()
 
     sizes = [int(s) for s in args.meshes.split(",")]
@@ -108,11 +110,29 @@ def main() -> int:
         print(f"data={n:2d}  global_bunch={bunch:6d}  "
               f"{fps/1e3:9.1f} kframes/s  efficiency={eff:.3f}")
 
+    eff_final = None
     if len(results) > 1:
         ns = sorted(results)
+        eff_final = results[ns[-1]] / (results[ns[0]] * ns[-1] / ns[0])
         print(f"# weak-scaling efficiency {ns[0]}->{ns[-1]} devices: "
-              f"{results[ns[-1]] / (results[ns[0]] * ns[-1] / ns[0]):.3f} "
-              f"(platform={platform}, hidden={hidden})")
+              f"{eff_final:.3f} (platform={platform}, hidden={hidden})")
+    if args.json:
+        import json
+        print(json.dumps({
+            "metric": "dp_weak_scaling_efficiency",
+            "value": round(eff_final, 4) if eff_final is not None else None,
+            "unit": f"fraction ({min(results)}->{max(results)} devices)",
+            "vs_baseline": round(eff_final, 4) if eff_final else None,
+            "detail": {
+                "platform": platform, "hidden": hidden,
+                "batch_per_device": args.batch_per_device,
+                "frames_per_s": {str(n): round(v) for n, v in results.items()},
+                "note": ("virtual CPU devices oversubscribe host cores; "
+                         "efficiency here validates the harness/collectives, "
+                         "not ICI — see SCALING.md for the hardware model"
+                         if platform == "cpu" else "measured on hardware"),
+            },
+        }))
     return 0
 
 
