@@ -8,8 +8,18 @@ reduction, the closed-form alpha, and the scaled gradient in a single VMEM
 pass.
 
 This is the jnp-equivalent of ``tpu_se.losses.output_grad_and_alpha``
-(ml=True); XLA fuses that chain well already, so the kernel is the
-hand-scheduled variant for the hot path and a template for deeper fusions.
+(ml=True); XLA fuses that chain well already.
+
+STATUS: RETIRED from the hot path (round 2, measured on the real v5e —
+``benchmarks/pallas.json``, ``tools/bench_pallas.py``).  Non-interpret TPU
+run is bitwise-identical to the XLA twin (max_abs_err 0.0) but a
+statistical tie standalone (131.5 us vs 130.5 us at the parity bunch
+M=128), and inside the fused train step the whole alpha chain is FREE
+(fused into adjacent GEMMs — CLAUDE.md stage ablation), which a separate
+custom-call can never beat.  At M=4096 the ungridded whole-array kernel
+exceeds the 16 MB scoped-VMEM limit (42 MB requested) while XLA runs it in
+159 us; gridding it into a two-pass reduction is not worth doing for a
+retired kernel.  Kept as a verified Pallas template; use M <= ~1024.
 """
 
 from __future__ import annotations

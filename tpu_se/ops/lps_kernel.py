@@ -9,6 +9,14 @@ the 257-dim LPS rows.
 Layout: the 2*257 basis columns are padded to 2*384 (lane-aligned 128
 multiples); the kernel computes on the padded block and the caller slices
 the 257 real bins.
+
+STATUS: RETIRED from the hot path (round 2, measured on the real v5e —
+``benchmarks/pallas.json``, ``tools/bench_pallas.py``).  Non-interpret TPU
+run is bitwise-identical to the XLA twin (max_abs_err 0.0) but measurably
+SLOWER: 127.5 us vs 121.8 us at T=512 frames and 150.1 us vs 133.6 us at
+T=4096 (1.05-1.12x).  XLA already fuses the square/add/log epilogue into
+the GEMM output, and its fp32 matmul tiling beats the hand block spec, so
+``wav_to_lps`` keeps the jnp path.  Kept as a verified Pallas template.
 """
 
 from __future__ import annotations
