@@ -6,10 +6,17 @@ normalize + edge-replicated splice, DNN forward, de-normalize, noisy-phase
 synthesis + OLA — over a batch of bucket-padded utterances, reporting
 frames/s and the real-time factor (x faster than audio).
 
+Prints one JSON line with the headline numbers; --out additionally writes
+the full record (committed as benchmarks/decode.json) so round-over-round
+regressions are visible.  Reference analogue: the per-process decode loop
+``Test_code/decode.m:24-68``.
+
 Usage: timeout 590 python tools/bench_decode.py [--utts N] [--frames T]
+       [--out benchmarks/decode.json]
 """
 
 import argparse
+import json
 import os
 import sys
 import tempfile
@@ -29,6 +36,7 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=16,
                     help="also bench enhance_batch at this batch size "
                          "(0 = skip)")
+    ap.add_argument("--out", default=None, help="write full JSON record here")
     args = ap.parse_args()
 
     import jax
@@ -95,6 +103,26 @@ def main() -> int:
         print(f"batched (B={args.batch}): {bfps:,.0f} frames/s = "
               f"{bfps * shift / sr:,.0f}x real-time "
               f"({bfps / fps:.2f}x vs per-utterance)")
+    else:
+        bfps = None
+
+    record = {
+        "platform": platform,
+        "utts": args.utts, "frames_per_utt": args.frames, "reps": args.reps,
+        "per_utt_frames_per_sec": round(fps, 1),
+        "per_utt_x_realtime": round(audio_rate, 1),
+        "batch_size": args.batch if args.batch > 1 else None,
+        "batched_frames_per_sec": round(bfps, 1) if bfps else None,
+        "batched_x_realtime": round(bfps * shift / sr, 1) if bfps else None,
+    }
+    print(json.dumps({"metric": "decode_frames_per_sec",
+                      "value": record["batched_frames_per_sec"] or
+                      record["per_utt_frames_per_sec"],
+                      "unit": "frames/s",
+                      "per_utt": record["per_utt_frames_per_sec"]}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=1)
     return 0
 
 

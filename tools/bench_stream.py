@@ -10,11 +10,15 @@ Measures the jitted hop step (``tpu_se/infer/streaming.py``) end to end
 - S=128: batched-channel throughput -> how many concurrent real-time
   channels one chip sustains.
 
+Prints one JSON line with the headline numbers; --out additionally writes
+the full per-stream-count record (committed as benchmarks/stream.json).
+
 Usage: timeout 590 python tools/bench_stream.py [--streams N] [--model m.wts
-       --norm m.norm]  (defaults: flagship-size random model)
+       --norm m.norm] [--out benchmarks/stream.json]
 """
 
 import argparse
+import json
 import os
 import sys
 import tempfile
@@ -31,6 +35,7 @@ def main() -> int:
     ap.add_argument("--model")
     ap.add_argument("--norm")
     ap.add_argument("--hops", type=int, default=200)
+    ap.add_argument("--out", default=None, help="write full JSON record here")
     args = ap.parse_args()
 
     import jax
@@ -63,6 +68,8 @@ def main() -> int:
 
     print(f"# platform={platform} hop={shift} samples "
           f"({hop_budget_ms:.0f} ms real-time budget)")
+    record = {"platform": platform, "hop_samples": shift,
+              "hop_budget_ms": hop_budget_ms, "streams": []}
     for s_count in args.streams:
         enh = StreamingEnhancer(wts, norm, n_streams=s_count)
         rng = np.random.default_rng(1)
@@ -81,6 +88,11 @@ def main() -> int:
         lat_ms = np.array(lat) * 1e3
         frames_s = args.hops * s_count / t_all
         audio_s = frames_s * shift / sr
+        entry = {"n_streams": s_count,
+                 "hop_p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
+                 "hop_p99_ms": round(float(np.percentile(lat_ms, 99)), 3),
+                 "hops_per_sec": round(frames_s, 1),
+                 "x_realtime_channels": round(audio_s, 1)}
         print(f"S={s_count:4d}: hop latency p50={np.percentile(lat_ms, 50):.2f} "
               f"p99={np.percentile(lat_ms, 99):.2f} ms "
               f"(budget {hop_budget_ms:.0f} ms) | {frames_s:,.0f} hops/s = "
@@ -100,11 +112,27 @@ def main() -> int:
         t_chunk = time.perf_counter() - t0
         frames_s = n_disp * k * s_count / t_chunk
         audio_s = frames_s * shift / sr
+        entry["chunked_k"] = k
+        entry["chunked_hops_per_sec"] = round(frames_s, 1)
+        entry["chunked_x_realtime_channels"] = round(audio_s, 1)
+        record["streams"].append(entry)
         print(f"         chunked K={k}: {t_chunk / n_disp * 1e3:.2f} ms per "
               f"{k * hop_budget_ms:.0f} ms chunk | {frames_s:,.0f} hops/s = "
               f"{audio_s:,.0f}x real-time channels")
     print(f"# algorithmic latency: {enh.latency_samples} samples = "
           f"{enh.latency_samples / sr * 1e3:.0f} ms")
+    record["algorithmic_latency_ms"] = round(
+        enh.latency_samples / sr * 1e3, 1)
+    best = max(record["streams"],
+               key=lambda e: e["chunked_x_realtime_channels"])
+    print(json.dumps({"metric": "stream_realtime_channels",
+                      "value": best["chunked_x_realtime_channels"],
+                      "unit": "channels",
+                      "n_streams": best["n_streams"],
+                      "p99_hop_ms_s1": record["streams"][0]["hop_p99_ms"]}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=1)
     return 0
 
 
