@@ -9,12 +9,25 @@ with IDENTICAL init seed, schedule, topology and data
 held-out conditions are decoded with each, and the SegSNR/LSD/STOI/PESQ
 table is written to artifacts/ab_objectives/{AB.md,AB.json}.
 
+Two corpus modes (written to <workdir>/<corpus>/):
+
+- ``--corpus small``: the 11 raw train pairs (9 train + 2 CV, ~2k frames)
+  — fast smoke-scale A/B; heavily data-starved.
+- ``--corpus remix`` (default): the demo pairs are sample-aligned additive
+  mixtures (residual noisy-clean is uncorrelated with clean and matches
+  the labeled SNR), so the 11 train-condition noise tracks are extracted
+  and remixed over the 11 train clean sentences at SNR {-5,0,5,10} ->
+  ~495 utterances / ~90k frames, with the held-out noise types AND
+  held-out sentences excluded from training.  CV = the 11 original real
+  pairs.  This is the same multi-condition recipe the paper trains with,
+  scaled to the data actually shipped in the repo.
+
 Every stage skips if its outputs exist, so the script is safely re-runnable
 in bounded time slices (the remote-TPU relay requires `timeout`), mirroring
 the reference's resume-by-existence (``finetune.pl:49``).
 
 Usage: timeout 590 python tools/ab_objectives.py [workdir] [--epochs 50]
-       (re-run until it prints the final table)
+       [--corpus remix|small]   (re-run until it prints the final table)
 """
 
 import argparse
@@ -40,12 +53,10 @@ ARMS = {
 }
 
 
-def build_corpus(work: str):
-    from tpu_se.dsp import wav_to_lps
-    from tpu_se.io import read_wav, write_pfile, write_norm
-    from tpu_se.io.norm import compute_norm
-    from tpu_se.io.pfile import read_pfile
+SNRS = (-5.0, 0.0, 5.0, 10.0)
 
+
+def _demo_pairs():
     demo_dir = os.path.join(REFERENCE, "Enh_demos")
     noisy_wavs = sorted(glob.glob(os.path.join(demo_dir, "*_NOISY_*.wav")))
     pairs = []
@@ -56,18 +67,64 @@ def build_corpus(work: str):
     train_pairs = [(n, c) for n, c in pairs
                    if not any(h in n for h in HELD_OUT)]
     test_pairs = [(n, c) for n, c in pairs if any(h in n for h in HELD_OUT)]
+    return train_pairs, test_pairs
 
+
+def build_corpus(work: str, corpus: str):
+    """Write pfiles + norm under <work>/data; return cfg pieces.
+
+    Returns (noisy_pfile, clean_pfile, norm_file, train_range, cv_range,
+    test_pairs).
+    """
+    from tpu_se.dsp import wav_to_lps
+    from tpu_se.io import read_wav, write_pfile, write_norm
+    from tpu_se.io.norm import compute_norm
+    from tpu_se.io.pfile import read_pfile
+
+    train_pairs, test_pairs = _demo_pairs()
     data_dir = os.path.join(work, "data")
     os.makedirs(data_dir, exist_ok=True)
     noisy_pfile = os.path.join(data_dir, "train_noisy.pfile")
     clean_pfile = os.path.join(data_dir, "train_clean.pfile")
     norm_file = os.path.join(data_dir, "train_noisy.norm")
     meta_file = os.path.join(data_dir, "meta.json")
+
     if not os.path.exists(meta_file):
-        noisy_utts, clean_utts = [], []
+        # Aligned waveforms per train pair.
+        waves = []
         for nw, cw in train_pairs:
-            n_lps = wav_to_lps(read_wav(nw)[0])
-            c_lps = wav_to_lps(read_wav(cw)[0])
+            n, _ = read_wav(nw)
+            c, _ = read_wav(cw)
+            t = min(len(n), len(c))
+            waves.append((n[:t].astype(np.float32),
+                          c[:t].astype(np.float32)))
+        if corpus == "small":
+            mixtures = [(n, c) for n, c in waves]
+        else:
+            # Extract the 11 train-condition noise tracks and remix every
+            # train clean sentence with every noise at each SNR; the 11
+            # original real pairs go last as the CV block.
+            noises = [n - c for n, c in waves]
+            cleans = [c for _, c in waves]
+            mixtures = []
+            for c in cleans:
+                p_c = float(np.mean(c ** 2)) + 1e-12
+                for noise in noises:
+                    nz = (np.tile(noise, len(c) // len(noise) + 1)[:len(c)]
+                          if len(noise) < len(c) else noise[:len(c)])
+                    p_n = float(np.mean(nz ** 2)) + 1e-12
+                    for snr in SNRS:
+                        g = np.sqrt(p_c / (p_n * 10.0 ** (snr / 10.0)))
+                        mixtures.append((c + np.float32(g) * nz, c))
+            mixtures += [(n, c) for n, c in waves]      # CV block
+        noisy_utts, clean_utts = [], []
+        clean_lps_cache = {}
+        for mix, c in mixtures:
+            n_lps = np.asarray(wav_to_lps(mix))
+            key = (len(c), float(c[:64].sum()))
+            if key not in clean_lps_cache:
+                clean_lps_cache[key] = np.asarray(wav_to_lps(c))
+            c_lps = clean_lps_cache[key]
             t = min(len(n_lps), len(c_lps))
             noisy_utts.append(n_lps[:t])
             clean_utts.append(c_lps[:t])
@@ -75,19 +132,24 @@ def build_corpus(work: str):
         write_pfile(clean_pfile, clean_utts)
         mean, inv_std = compute_norm(read_pfile(noisy_pfile).features)
         write_norm(norm_file, mean, inv_std)
+        n_cv = 2 if corpus == "small" else len(train_pairs)
+        meta = {"n_utts": len(mixtures), "n_cv": n_cv,
+                "frames": int(sum(len(u) for u in noisy_utts))}
         with open(meta_file, "w") as f:
-            json.dump({"n_train_utts": len(train_pairs),
-                       "frames": int(sum(len(u) for u in noisy_utts))}, f)
-        print(f"corpus: {len(train_pairs)} train utts, "
-              f"{sum(len(u) for u in noisy_utts)} frames")
-    n_utts = json.load(open(meta_file))["n_train_utts"]
-    return (noisy_pfile, clean_pfile, norm_file, n_utts, test_pairs)
+            json.dump(meta, f)
+        print(f"corpus[{corpus}]: {meta['n_utts']} utts "
+              f"({meta['frames']} frames), last {n_cv} = CV")
+    meta = json.load(open(meta_file))
+    n, n_cv = meta["n_utts"], meta["n_cv"]
+    return (noisy_pfile, clean_pfile, norm_file,
+            (0, n - n_cv - 1), (n - n_cv, n - 1), test_pairs)
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("workdir", nargs="?", default="artifacts/ab_objectives")
     ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--corpus", choices=("small", "remix"), default="remix")
     args = ap.parse_args()
 
     import jax
@@ -102,10 +164,10 @@ def main() -> int:
     from tpu_se.io import read_wav
     from tpu_se.train import TrainConfig, run_training
 
-    work = args.workdir
+    work = os.path.join(args.workdir, args.corpus)
     os.makedirs(work, exist_ok=True)
-    noisy_pfile, clean_pfile, norm_file, n_utts, test_pairs = \
-        build_corpus(work)
+    noisy_pfile, clean_pfile, norm_file, train_range, cv_range, test_pairs \
+        = build_corpus(work, args.corpus)
 
     # ---- train both arms (identical seed/schedule; resume-by-existence) ----
     final = {}
@@ -114,8 +176,7 @@ def main() -> int:
             fea_file=noisy_pfile, targ_file=clean_pfile, norm_file=norm_file,
             out_dir=os.path.join(work, arm),
             ml_flag=ml, shapefactor=beta, epochs=args.epochs,
-            train_sent_range=(0, n_utts - 3),
-            cv_sent_range=(n_utts - 2, n_utts - 1),
+            train_sent_range=train_range, cv_sent_range=cv_range,
         )
         final[arm] = run_training(cfg)
         print(f"{arm}: {final[arm]}")
@@ -155,12 +216,21 @@ def main() -> int:
                  for m in ("segsnr", "lsd", "stoi", "pesq")}
              for s in systems}
     record = {"held_out": list(HELD_OUT), "epochs": args.epochs,
+              "corpus": args.corpus,
               "arms": {a: {"ml_flag": ARMS[a][0], "shapefactor": ARMS[a][1]}
                        for a in ARMS},
               "per_condition": rows, "mean": means}
     with open(os.path.join(work, "AB.json"), "w") as f:
         json.dump(record, f, indent=1)
 
+    corpus_desc = {
+        "small": "11 raw Enh_demos train conditions (9 train + 2 CV, ~2k "
+                 "frames)",
+        "remix": "484 remixed mixtures (11 extracted train-noise tracks x "
+                 "11 train clean sentences x SNR {-5,0,5,10}) + the 11 real "
+                 "pairs as CV (~90k frames); held-out noise types and "
+                 "sentences excluded from training",
+    }[args.corpus]
     lines = [
         "# MMSE vs ML-GGD A/B — models trained by tpu_se",
         "",
@@ -168,9 +238,9 @@ def main() -> int:
         "schedule, topology",
         "1799-2048x3-257, bunch 128, parity gradients; the ONLY difference "
         "is the objective",
-        "(`MLflag`/`shapefactor`, `finetune.pl:25-26`). Train corpus: 11 "
-        "Enh_demos conditions",
-        f"(9 train + 2 CV); held out: {', '.join(HELD_OUT)}.",
+        "(`MLflag`/`shapefactor`, `finetune.pl:25-26`). Train corpus: "
+        f"{corpus_desc}.",
+        f"Held out: {', '.join(HELD_OUT)}.",
         "", "## Held-out means", "",
         "| System | SegSNR (dB) | LSD (dB) | STOI | PESQ |",
         "|---|---|---|---|---|",
