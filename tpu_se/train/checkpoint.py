@@ -9,6 +9,13 @@ momentum is LOST on restart (SURVEY.md §5).  We write both:
 - ``mlp.N.state.npz`` — weights + velocity + alpha, so a resumed run
   continues bit-identically (fixes the reference's momentum-loss quirk;
   loading falls back gracefully to .wts-only).
+
+The sidecar is only written when requested (``with_state``): under the
+parity schedule velocity is reset every epoch (``finetune.pl``'s process
+model) and alpha is recomputed at the first ML bunch, so epoch-end
+sidecars carry no information a resume needs — skipping them halves the
+per-epoch checkpoint I/O (the sidecar is ~2x the .wts).  Mid-epoch
+partial checkpoints always include it.
 """
 
 from __future__ import annotations
@@ -23,9 +30,12 @@ from tpu_se.models import params_from_wts, params_to_wts
 from tpu_se.train.step import TrainState, make_train_state
 
 
-def save_checkpoint(path_wts: str, state: TrainState) -> None:
+def save_checkpoint(path_wts: str, state: TrainState,
+                    with_state: bool = True) -> None:
     layers = params_to_wts(state.params)
     write_wts(path_wts, layers)
+    if not with_state:
+        return
     arrays = {}
     for i, l in enumerate(state.velocity):
         arrays[f"vel_w_{i}"] = np.asarray(l["w"])

@@ -343,11 +343,13 @@ def run_training(cfg: TrainConfig, log=print) -> str:
             f"({dataset.span_bytes() / 1e6:.0f} MB)")
 
     last_path = ""
+    state = None          # in-memory state carried across epochs
     for epoch in range(1, cfg.epochs + 1):
         out_path = os.path.join(cfg.out_dir, f"mlp.{epoch}.wts")
         if os.path.exists(out_path):
             log(f"epoch {epoch}: {out_path} exists, skipping (resume)")
             last_path = out_path
+            state = None  # must reload from disk when training resumes
             continue
 
         if epoch == 1:
@@ -363,7 +365,12 @@ def run_training(cfg: TrainConfig, log=print) -> str:
                 params = init_params(cfg.seed_for_epoch(1), cfg.layersizes)
                 state = make_train_state(params, cfg.layersizes[-1])
         else:
-            state = load_checkpoint(last_path)
+            # Reuse the state already in hand (it is bit-identical to the
+            # .wts just written: the fp32 round-trip is exact); reload from
+            # disk only on resume.  Saves a 150 MB disk read + a full
+            # host->device weight upload per epoch.
+            if state is None:
+                state = load_checkpoint(last_path)
             if not cfg.carry_velocity:
                 state = make_train_state(state.params, cfg.layersizes[-1])
 
@@ -411,7 +418,10 @@ def run_training(cfg: TrainConfig, log=print) -> str:
                               device_frames=cv_frames)
         dt = time.time() - t0
         if is_main:
-            save_checkpoint(out_path, state)
+            # Velocity is reset each epoch under the parity schedule and
+            # alpha is recomputed at the first ML bunch, so the full-state
+            # sidecar only matters when velocity carries across epochs.
+            save_checkpoint(out_path, state, with_state=cfg.carry_velocity)
             for p in (partial_path, partial_path + ".state.npz", meta_path):
                 if os.path.exists(p):
                     os.remove(p)
