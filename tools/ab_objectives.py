@@ -50,6 +50,8 @@ ARMS = {
     # name -> (ml_flag, shapefactor)
     "MMSE": (False, 2.0),     # classic beta-norm beta=2 (MLflag=0)
     "MLGGD1": (True, 1.0),    # ML-GGD beta=1 (finetune.pl:25-26 defaults)
+    "MLGGD09": (True, 0.9),   # ML-GGD beta=0.9 — the paper's optimum and
+                              # the config behind the shipped ML demo wavs
 }
 
 
