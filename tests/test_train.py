@@ -321,3 +321,34 @@ def test_midepoch_resume_device_resident(reference_dir, tmp_path):
     run_training(b, log=lambda s: None)
     got = open(os.path.join(b.out_dir, "mlp.1.wts"), "rb").read()
     assert got == want
+
+
+def test_inmemory_epoch_carry_matches_disk_resume(reference_dir, tmp_path):
+    """Continuous runs carry state in-memory between epochs; that must be
+    bit-identical to the disk-reload resume path (the fp32 .wts round-trip
+    is exact), and epoch-end sidecars are skipped unless carry_velocity."""
+    import os
+
+    def cfg(out, epochs, carry=False):
+        return TrainConfig(
+            fea_file=str(reference_dir / "tools_pfile/train_noisy.pfile"),
+            targ_file=str(reference_dir / "tools_pfile/train_clean.pfile"),
+            norm_file=str(reference_dir / "tools_pfile/train_noisy.norm"),
+            out_dir=str(out), layersizes=(1799, 32, 257), epochs=epochs,
+            ml_flag=True, shapefactor=1.0, init_seed=7,
+            carry_velocity=carry)
+
+    a = tmp_path / "cont"
+    run_training(cfg(a, 2), log=lambda s: None)      # continuous (in-memory)
+    b = tmp_path / "resumed"
+    run_training(cfg(b, 1), log=lambda s: None)      # epoch 1 only
+    run_training(cfg(b, 2), log=lambda s: None)      # resume -> disk reload
+    wa = (a / "mlp.2.wts").read_bytes()
+    wb = (b / "mlp.2.wts").read_bytes()
+    assert wa == wb
+    # Parity schedule (velocity reset per epoch): no epoch-end sidecar.
+    assert not os.path.exists(str(a / "mlp.2.wts.state.npz"))
+    # carry_velocity=True keeps the full-state sidecar for exact resume.
+    c = tmp_path / "carry"
+    run_training(cfg(c, 1, carry=True), log=lambda s: None)
+    assert os.path.exists(str(c / "mlp.1.wts.state.npz"))
