@@ -224,3 +224,19 @@ def test_fused_decode_matches_staged(reference_dir, identity_model):
     assert np.abs(wave_f.astype(np.int32)
                   - wave_s.astype(np.int32)).max() <= 1
     np.testing.assert_allclose(recon_f, recon_s, rtol=1e-4, atol=1e-3)
+
+
+def test_batch_waves_fast_path_bitwise_matches_batch(identity_model):
+    """enhance_batch_waves (int16-only traffic, on-device framing) must be
+    bitwise-identical to enhance_batch's waveforms."""
+    from tpu_se.infer import Enhancer
+
+    wts, norm = identity_model
+    rng = np.random.default_rng(4)
+    waves = [(rng.normal(size=n) * 2000).astype(np.int16)
+             for n in (9000, 16000, 0, 4000, 12345)]
+    enh = Enhancer(wts, norm)
+    fast = enh.enhance_batch_waves(waves)
+    full = enh.enhance_batch(waves)
+    for got, want in zip(fast, full):
+        np.testing.assert_array_equal(got, want[0])

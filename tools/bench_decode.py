@@ -106,6 +106,28 @@ def main() -> int:
     else:
         bfps = None
 
+    # Serving fast path: int16-only transfers, framing + int16 cast on
+    # device, wave-only output (bitwise-equal waves to enhance_batch).
+    if args.batch > 1:
+        batches = [utts[lo: lo + args.batch]
+                   for lo in range(0, len(utts), args.batch)]
+        enh.enhance_batch_waves(batches[0])      # warm-up
+        t0 = time.perf_counter()
+        total_frames = 0
+        for _ in range(args.reps):
+            for b in batches:
+                outs = enh.enhance_batch_waves(b)
+                total_frames += sum((len(o) - 256) // 256
+                                    for o in outs if len(o))
+        _ = int(outs[-1][-1])
+        dt = time.perf_counter() - t0
+        wfps = total_frames / dt
+        print(f"wave-only (B={args.batch}): {wfps:,.0f} frames/s = "
+              f"{wfps * shift / sr:,.0f}x real-time "
+              f"({wfps / bfps:.2f}x vs full batched)")
+    else:
+        wfps = None
+
     record = {
         "platform": platform,
         "utts": args.utts, "frames_per_utt": args.frames, "reps": args.reps,
@@ -114,9 +136,12 @@ def main() -> int:
         "batch_size": args.batch if args.batch > 1 else None,
         "batched_frames_per_sec": round(bfps, 1) if bfps else None,
         "batched_x_realtime": round(bfps * shift / sr, 1) if bfps else None,
+        "wave_only_frames_per_sec": round(wfps, 1) if wfps else None,
+        "wave_only_x_realtime": round(wfps * shift / sr, 1) if wfps else None,
     }
     print(json.dumps({"metric": "decode_frames_per_sec",
-                      "value": record["batched_frames_per_sec"] or
+                      "value": record["wave_only_frames_per_sec"] or
+                      record["batched_frames_per_sec"] or
                       record["per_utt_frames_per_sec"],
                       "unit": "frames/s",
                       "per_utt": record["per_utt_frames_per_sec"]}))

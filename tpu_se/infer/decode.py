@@ -95,6 +95,38 @@ def _decode_device_batch(params, frames: jax.Array, mean: jax.Array,
     )(frames, n_valid)
 
 
+@functools.partial(jax.jit, static_argnames=("frame_shift", "context",
+                                              "compute_dtype"))
+def _decode_device_batch_waves(params, waves: jax.Array, mean: jax.Array,
+                               inv_std: jax.Array, n_valid: jax.Array,
+                               frame_shift: int = FRAME_SHIFT,
+                               context: int = 7,
+                               compute_dtype=jnp.float32) -> jax.Array:
+    """Serving fast path: int16 waves in, int16 waves out, framing on device.
+
+    ``waves`` [B, S_pad] int16 with S_pad = (T_pad + 1) * frame_shift;
+    framing exploits frame_length == 2 * frame_shift (the ETSI 50 %-overlap
+    config, ``Wav2LogSpec_be.c:43,49``): adjacent shift-sized blocks are
+    concatenated, so no gather is needed.  Only the enhanced waveform is
+    returned (XLA dead-code-eliminates the recon/LPS outputs), and the
+    int16 conversion happens on device — host<->device traffic drops from
+    ~6 KB to ~1 KB per frame, which is what bounds decode throughput
+    through a transfer-limited link (``benchmarks/decode.json``).
+    """
+    w = waves.astype(jnp.float32)
+    b, s = w.shape
+    blocks = w.reshape(b, s // frame_shift, frame_shift)
+    frames = jnp.concatenate([blocks[:, :-1], blocks[:, 1:]], axis=2)
+
+    def one(f, nv):
+        wave, _, _ = _decode_core(params, f, mean, inv_std, nv,
+                                  frame_shift, context, compute_dtype)
+        return wave
+
+    wave_b = jax.vmap(one)(frames, n_valid)
+    return jnp.trunc(wave_b).astype(jnp.int16)
+
+
 SWITCHPOINT = 36          # LogSpec2Wav.c:76 — low/high band split
 THRESHOLD1 = -2.1         # max suppression, bins 0..36   (:77)
 THRESHOLD2 = -3.43        # max suppression, bins 37..256 (:78)
@@ -287,6 +319,50 @@ class Enhancer:
             out.append((wave, recon_b[i, :t], enh_b[i, :t]))
         return out
 
+    def enhance_batch_waves(self, waves: list) -> list[np.ndarray]:
+        """B int16 waves -> B enhanced int16 waves (serving fast path).
+
+        Same device math as ``enhance_batch`` but with int16-only
+        host<->device traffic and on-device framing/int16 conversion
+        (`_decode_device_batch_waves`) — ~6x less transfer per frame.
+        Output waves are bitwise-identical to ``enhance_batch``'s.
+        Requires the 50 %-overlap config (frame_length == 2 * shift); the
+        postprocess/smooth options fall back to the staged path.
+        """
+        if (self.smooth or self.postprocess or not waves
+                or FRAME_LENGTH != 2 * FRAME_SHIFT):
+            return [self.enhance(w)[0] for w in waves]
+        ts = [max(0, (len(w) - FRAME_SHIFT) // FRAME_SHIFT) for w in waves]
+        if max(ts) == 0:
+            return [self.enhance(w)[0] for w in waves]
+        bucket = self._pad_bucket(FRAME_BUCKET)
+        t_pad = -(-max(ts) // bucket) * bucket
+        b_bucket = self.BATCH_BUCKET
+        if self.mesh is not None:
+            b_bucket = -(-b_bucket // self._n_data) * self._n_data
+        b_pad = -(-len(waves) // b_bucket) * b_bucket
+        waves_b = np.zeros((b_pad, (t_pad + 1) * FRAME_SHIFT),
+                           dtype=np.int16)
+        for i, w in enumerate(waves):
+            n = (ts[i] + 1) * FRAME_SHIFT if ts[i] else 0
+            waves_b[i, :n] = np.asarray(w[:n], dtype=np.int16)
+        n_valid = np.zeros(b_pad, dtype=np.int32)
+        n_valid[: len(ts)] = ts
+        waves_j, n_valid_j = jnp.asarray(waves_b), jnp.asarray(n_valid)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            waves_j = jax.device_put(
+                waves_j, NamedSharding(self.mesh, P("data", None)))
+            n_valid_j = jax.device_put(
+                n_valid_j, NamedSharding(self.mesh, P("data")))
+        wave_b = np.asarray(_decode_device_batch_waves(
+            self.params, waves_j, self.mean, self.inv_std, n_valid_j,
+            FRAME_SHIFT, self.context, self.compute_dtype))
+        tail = FRAME_LENGTH - FRAME_SHIFT
+        return [wave_b[i, : t * FRAME_SHIFT + tail] if t
+                else np.zeros(0, np.int16) for i, t in enumerate(ts)]
+
 
 def enhance_utterance(wts_path, norm_path, noisy_wave: np.ndarray
                       ) -> np.ndarray:
@@ -317,8 +393,14 @@ def decode_files(wts_path, norm_path, wav_paths: list, out_dir,
         waves_srs = [read_wav(p) for p in wav_paths]
         outputs = []
         for lo in range(0, len(waves_srs), batch_size):
-            outputs.extend(enh.enhance_batch(
-                [w for w, _ in waves_srs[lo: lo + batch_size]]))
+            chunk = [w for w, _ in waves_srs[lo: lo + batch_size]]
+            if clean_paths is None:
+                # No metrics needed -> int16-only fast path (the recon
+                # frames / LPS are only used for SegSNR/LSD).
+                outputs.extend((w, None, None)
+                               for w in enh.enhance_batch_waves(chunk))
+            else:
+                outputs.extend(enh.enhance_batch(chunk))
     else:
         waves_srs = outputs = None
     results = []
