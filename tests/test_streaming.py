@@ -137,3 +137,22 @@ def test_short_utterance_stream(reference_dir, small_model):
     stream = np.concatenate([s.feed(short), s.flush()]).astype(np.int32)
     assert stream.shape == batch.shape
     assert np.abs(stream - batch).max() <= 1
+
+
+def test_push_many_int16_wire_matches_float(small_model):
+    """int16-wire chunked streaming == trunc(float32-wire output) for
+    integer-valued (PCM) input, on identical stream states."""
+    from tpu_se.infer import StreamingEnhancer
+
+    wts, norm = small_model
+    rng = np.random.default_rng(11)
+    hops = (rng.normal(size=(2, 24, 256)) * 2000).astype(np.int16)
+
+    a = StreamingEnhancer(wts, norm, n_streams=2)
+    out_f, valid_f = a.push_many(hops.astype(np.float32))
+    b = StreamingEnhancer(wts, norm, n_streams=2)
+    out_i, valid_i = b.push_many(hops, int16_wire=True)
+
+    assert out_i.dtype == np.int16
+    np.testing.assert_array_equal(valid_f, valid_i)
+    np.testing.assert_array_equal(np.trunc(out_f).astype(np.int16), out_i)

@@ -208,6 +208,24 @@ def _stream_scan(params, mean, inv_std, state: StreamState, hops: jax.Array,
 
 @functools.partial(jax.jit,
                    static_argnames=("frame_shift", "compute_dtype"))
+def _stream_scan_i16(params, mean, inv_std, state: StreamState,
+                     hops: jax.Array, frame_shift: int,
+                     compute_dtype=jnp.float32
+                     ) -> tuple[StreamState, jax.Array]:
+    """`_stream_scan` with an int16 wire: int16 hops in, int16 hops out.
+
+    The f32 cast-in and trunc-cast-out live inside the program, so
+    host<->device traffic is halved vs the float32 wire while the stream
+    state and all math stay float32 (identical values for integer-valued
+    input, i.e. real PCM audio)."""
+    state, outs = _stream_scan(params, mean, inv_std, state,
+                               hops.astype(jnp.float32), frame_shift,
+                               compute_dtype)
+    return state, jnp.trunc(outs).astype(jnp.int16)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("frame_shift", "compute_dtype"))
 def _flush_step(params, mean, inv_std, state: StreamState,
                 frame_shift: int, compute_dtype=jnp.float32
                 ) -> tuple[StreamState, jax.Array]:
@@ -289,7 +307,7 @@ class StreamingEnhancer:
         return (np.asarray(out) if self._pushed - 1 - self.half >= 0
                 else None)
 
-    def push_many(self, hops: np.ndarray
+    def push_many(self, hops: np.ndarray, int16_wire: bool = False
                   ) -> tuple[np.ndarray, np.ndarray]:
         """[S, K, shift] hops in ONE device dispatch (scanned) ->
         ([S, K, shift] enhanced hops, [K] bool validity mask).
@@ -297,13 +315,24 @@ class StreamingEnhancer:
         Identical sample-for-sample to K :meth:`push` calls; use for
         chunked streaming where the client delivers K hops at a time —
         the host/device round trip is paid once per chunk, not per hop.
+
+        ``int16_wire``: ship int16 both ways (PCM audio is int16-valued
+        anyway) — halves the transfer per chunk, which is what bounds
+        multi-channel serving throughput; enhanced hops come back int16
+        (same values as truncating the float32-wire output).
         """
         k = hops.shape[1]
         h0 = self._hops
-        self.state, outs = _stream_scan(
-            self.params, self.mean, self.inv_std, self.state,
-            jnp.asarray(hops, dtype=jnp.float32), self.frame_shift,
-            self.compute_dtype)
+        if int16_wire:
+            self.state, outs = _stream_scan_i16(
+                self.params, self.mean, self.inv_std, self.state,
+                jnp.asarray(hops, dtype=jnp.int16), self.frame_shift,
+                self.compute_dtype)
+        else:
+            self.state, outs = _stream_scan(
+                self.params, self.mean, self.inv_std, self.state,
+                jnp.asarray(hops, dtype=jnp.float32), self.frame_shift,
+                self.compute_dtype)
         self._hops += k
         self._pushed += (max(0, self._hops - (self.ring_hops - 1))
                          - max(0, h0 - (self.ring_hops - 1)))
