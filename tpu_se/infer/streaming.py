@@ -352,10 +352,14 @@ class StreamingEnhancer:
         i = 0
         # Full SCAN_HOPS groups go through the scanned multi-hop program
         # (one dispatch per group); stragglers through the single-hop step.
+        int_input = float(np.sum(buf != np.trunc(buf))) == 0.0
         while n_hops - i >= self.SCAN_HOPS:
             chunk = buf[i * shift:(i + self.SCAN_HOPS) * shift]
+            # PCM (integer-valued) input rides the int16 wire: half the
+            # transfer, identical values (feed() emits int16 anyway).
             outs, valid = self.push_many(
-                chunk.reshape(1, self.SCAN_HOPS, shift))
+                chunk.reshape(1, self.SCAN_HOPS, shift),
+                int16_wire=int_input)
             pieces.extend(outs[0, j] for j in range(self.SCAN_HOPS)
                           if valid[j])
             i += self.SCAN_HOPS
