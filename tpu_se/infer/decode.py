@@ -372,7 +372,8 @@ def enhance_utterance(wts_path, norm_path, noisy_wave: np.ndarray
 def decode_files(wts_path, norm_path, wav_paths: list, out_dir,
                  clean_paths: list | None = None, log=print,
                  mesh=None, noisy_info: bool = False,
-                 batch_size: int = 0) -> list[dict]:
+                 batch_size: int = 0, postprocess: bool = False,
+                 smooth: bool = False) -> list[dict]:
     """decode.m batch loop: enhance each wav, write *_enhanced.wav + info.
 
     With ``clean_paths`` given, per-utterance SegSNR/LSD (enhanced and noisy
@@ -388,7 +389,8 @@ def decode_files(wts_path, norm_path, wav_paths: list, out_dir,
     the default path streams one utterance at a time to bound host memory.
     """
     os.makedirs(out_dir, exist_ok=True)
-    enh = Enhancer(wts_path, norm_path, mesh=mesh)
+    enh = Enhancer(wts_path, norm_path, mesh=mesh,
+                   postprocess=postprocess, smooth=smooth)
     if batch_size > 1:
         waves_srs = [read_wav(p) for p in wav_paths]
         outputs = []
