@@ -14,6 +14,7 @@ historical one.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -23,6 +24,15 @@ import numpy as np
 
 def main() -> int:
     import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute (the production/'natural' dtype)")
+    ap.add_argument("--bunch", type=int, default=128,
+                    help="bunch size (default: the parity config's 128)")
+    ap.add_argument("--out", default=None,
+                    help="also write the JSON record to this file")
+    args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
@@ -39,10 +49,10 @@ def main() -> int:
 
     dev = jax.devices()[0]
     platform = dev.platform
-    compute_dtype = jnp.bfloat16 if "--bf16" in sys.argv else jnp.float32
+    compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
     layersizes = DEFAULT_LAYERSIZES
-    bunch = 128
+    bunch = args.bunch
     fea_dim, context = 257, 7
     n_frames = 102400 + 4096          # one traincache chunk (+ pad bucket)
     n_bunches = 102400 // bunch       # 800
@@ -95,12 +105,18 @@ def main() -> int:
     sol_fps = peak / flops_per_frame
     achieved_flops = fps * flops_per_frame
 
-    print(json.dumps({
+    record = {
         "metric": "train_frames_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / sol_fps, 4),
-    }))
+    }
+    print(json.dumps(record))
+    if args.out:
+        record.update(platform=platform, bunch=bunch,
+                      dtype=compute_dtype.__name__)
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=1)
     print(f"# platform={platform} dtype={compute_dtype.__name__} "
           f"chunk_time={dt/reps*1e3:.1f}ms "
           f"achieved={achieved_flops/1e12:.1f}TFLOP/s "

@@ -120,10 +120,10 @@ def build_corpus(work: str, corpus: str):
                         mixtures.append((c + np.float32(g) * nz, c))
             mixtures += [(n, c) for n, c in waves]      # CV block
         noisy_utts, clean_utts = [], []
-        clean_lps_cache = {}
-        for mix, c in mixtures:
+        clean_lps_cache = {}      # keyed by the clean array's identity —
+        for mix, c in mixtures:   # every mixture reuses one of 11 arrays
             n_lps = np.asarray(wav_to_lps(mix))
-            key = (len(c), float(c[:64].sum()))
+            key = id(c)
             if key not in clean_lps_cache:
                 clean_lps_cache[key] = np.asarray(wav_to_lps(c))
             c_lps = clean_lps_cache[key]
