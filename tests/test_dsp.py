@@ -190,3 +190,25 @@ def test_mfcc_shape_and_c0_order():
     # c0 (last column) is the sum of log-mel energies: large and positive
     # for a loud signal
     assert cep[:, 12].mean() > 0
+
+
+def test_reconstruct_roundtrip_ola_kind0(reference_dir):
+    """The dormant OLA_KIND=0 build (de-window + overlap-count divide,
+    LogSpec2Wav.c:712-715,810-819) also round-trips identity LPS."""
+    from tpu_se.io import read_wav
+
+    wave, _ = read_wav(
+        reference_dir / "Feature_prepare/data/TEST_DR8_MPAM0_SX289.wav")
+    lps = np.asarray(wav_to_lps(wave))
+    out0, _ = reconstruct(lps, wave, ola_kind=0)
+    out1, _ = reconstruct(lps, wave, ola_kind=1)
+    n = min(len(out0), len(wave))
+    # Identity LPS + noisy phase reconstructs the waveform (small numeric
+    # error from the log/exp round trip); interior samples near-exact.
+    err0 = np.abs(out0[256:n - 256].astype(np.int32)
+                  - wave[256:n - 256].astype(np.int32))
+    assert err0.max() <= 2
+    # Both kinds agree in the fully-overlapped interior.
+    err01 = np.abs(out0[256:n - 256].astype(np.int32)
+                   - out1[256:n - 256].astype(np.int32))
+    assert err01.max() <= 2

@@ -31,10 +31,10 @@ from tpu_se.dsp.analysis import (
 )
 
 
-@functools.partial(jax.jit, static_argnames=("frame_shift",))
+@functools.partial(jax.jit, static_argnames=("frame_shift", "ola_kind"))
 def _synth_and_ola(lps_enh: jax.Array, noisy_frames: jax.Array,
-                   valid: jax.Array, frame_shift: int = 256
-                   ) -> tuple[jax.Array, jax.Array]:
+                   valid: jax.Array, frame_shift: int = 256,
+                   ola_kind: int = 1) -> tuple[jax.Array, jax.Array]:
     """Padded [T,bins] LPS + [T,len] noisy frames + [T] 0/1 mask
     -> (OLA waveform, de-windowed recon frames [T,len]).
 
@@ -42,6 +42,11 @@ def _synth_and_ola(lps_enh: jax.Array, noisy_frames: jax.Array,
     squared-window weights are masked out of both OLA accumulators.  The
     OLA is a vectorized segment sum over ceil(len/shift) shift-sized hops,
     so any (len, shift) rate config works (16 kHz: 2 hops; 11 kHz: 3).
+
+    ``ola_kind`` mirrors the reference's compile-time ``OLA_KIND``
+    (``LogSpec2Wav.c:72,712-715,810-819``) as a runtime option: 1 (the
+    shipped build) re-windows the inverse FFT and divides by the summed
+    squared window; 0 de-windows it and divides by the overlap count.
     """
     frame_length = noisy_frames.shape[1]
     fft_length = frame_length
@@ -54,11 +59,15 @@ def _synth_and_ola(lps_enh: jax.Array, noisy_frames: jax.Array,
                       0.0)
     synth = jnp.fft.irfft(spec * scale, n=fft_length, axis=-1)
 
-    # OLA of the re-windowed frames with per-frame validity weights.
+    # OLA with per-frame validity weights.
     n_hops = -(-frame_length // frame_shift)
     pad_cols = n_hops * frame_shift - frame_length
-    sw = synth * win[None, :] * valid[:, None]
-    w2 = (win * win)[None, :] * valid[:, None]
+    if ola_kind == 1:
+        sw = synth * win[None, :] * valid[:, None]
+        w2 = (win * win)[None, :] * valid[:, None]
+    else:
+        sw = synth / win[None, :] * valid[:, None]
+        w2 = jnp.ones_like(win)[None, :] * valid[:, None]
 
     def segment_sum(rows):
         rows = jnp.pad(rows, ((0, 0), (0, pad_cols)))
@@ -75,7 +84,8 @@ def _synth_and_ola(lps_enh: jax.Array, noisy_frames: jax.Array,
 
 
 def reconstruct(lps_enh: np.ndarray, noisy_wave: np.ndarray,
-                sample_rate: int = 16000) -> tuple[np.ndarray, np.ndarray]:
+                sample_rate: int = 16000, ola_kind: int = 1
+                ) -> tuple[np.ndarray, np.ndarray]:
     """Enhanced LPS [T,bins] + noisy waveform -> (int16 wave, recon frames).
 
     ``recon frames`` [T,len] is the de-windowed per-frame reconstruction the
@@ -100,7 +110,7 @@ def reconstruct(lps_enh: np.ndarray, noisy_wave: np.ndarray,
     valid = np.zeros(t_pad, dtype=np.float32)
     valid[:t] = 1.0
     wave, recon = _synth_and_ola(jnp.asarray(lps_p), jnp.asarray(frames_p),
-                                 jnp.asarray(valid), frame_shift)
+                                 jnp.asarray(valid), frame_shift, ola_kind)
     wave = np.asarray(wave)[: t * frame_shift + (frame_length - frame_shift)]
     wave_i16 = np.trunc(wave).astype(np.int16)
     return wave_i16, np.asarray(recon)[:t]
