@@ -122,9 +122,9 @@ def main() -> int:
           f"achieved={achieved_flops/1e12:.1f}TFLOP/s "
           f"sol_frac={fps/sol_fps:.3f}", file=sys.stderr)
     print("# headline = reference-parity config (M=128, fp32, per-bunch "
-          "updates). Measured headroom beyond parity: M=1024 bf16 natural "
-          "-> 1.73M frames/s; M=4096 bf16 -> 1.85M frames/s (71% MXU peak).",
-          file=sys.stderr)
+          "updates). Measured headroom beyond parity: M=4096 bf16 -> "
+          "2.03M frames/s, 78% of bf16 MXU peak "
+          "(benchmarks/train_headroom.json).", file=sys.stderr)
     return 0
 
 
