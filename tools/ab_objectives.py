@@ -152,6 +152,11 @@ def main() -> int:
     ap.add_argument("workdir", nargs="?", default="artifacts/ab_objectives")
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--corpus", choices=("small", "remix"), default="remix")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="init-seed offset (0 = the reference default "
+                         "27870775); nonzero runs land in s<seed>/ subdirs "
+                         "and AB_s<seed>.{md,json} — for multi-seed "
+                         "robustness of the ML-vs-MMSE ordering")
     args = ap.parse_args()
 
     import jax
@@ -172,14 +177,17 @@ def main() -> int:
         = build_corpus(work, args.corpus)
 
     # ---- train both arms (identical seed/schedule; resume-by-existence) ----
+    arm_root = os.path.join(work, f"s{args.seed}") if args.seed else work
     final = {}
     for arm, (ml, beta) in ARMS.items():
         cfg = TrainConfig(
             fea_file=noisy_pfile, targ_file=clean_pfile, norm_file=norm_file,
-            out_dir=os.path.join(work, arm),
+            out_dir=os.path.join(arm_root, arm),
             ml_flag=ml, shapefactor=beta, epochs=args.epochs,
             train_sent_range=train_range, cv_sent_range=cv_range,
         )
+        if args.seed:
+            cfg.init_seed += args.seed
         final[arm] = run_training(cfg)
         print(f"{arm}: {final[arm]}")
 
@@ -188,7 +196,7 @@ def main() -> int:
     clean_list = [c for _, c in test_pairs]
     decoded = {}
     for arm in ARMS:
-        out_dir = os.path.join(work, "enhanced", arm)
+        out_dir = os.path.join(arm_root, "enhanced", arm)
         decoded[arm] = decode_files(final[arm], norm_file, noisy_list,
                                     out_dir, clean_list)
 
@@ -218,11 +226,12 @@ def main() -> int:
                  for m in ("segsnr", "lsd", "stoi", "pesq")}
              for s in systems}
     record = {"held_out": list(HELD_OUT), "epochs": args.epochs,
-              "corpus": args.corpus,
+              "corpus": args.corpus, "seed_offset": args.seed,
               "arms": {a: {"ml_flag": ARMS[a][0], "shapefactor": ARMS[a][1]}
                        for a in ARMS},
               "per_condition": rows, "mean": means}
-    with open(os.path.join(work, "AB.json"), "w") as f:
+    ab_name = f"AB_s{args.seed}" if args.seed else "AB"
+    with open(os.path.join(work, ab_name + ".json"), "w") as f:
         json.dump(record, f, indent=1)
 
     corpus_desc = {
@@ -262,7 +271,7 @@ def main() -> int:
             lines.append(f"| {s} | {m['segsnr']:.2f} | {m['lsd']:.2f} | "
                          f"{m['stoi']:.3f} | {m['pesq']:.2f} |")
         lines.append("")
-    with open(os.path.join(work, "AB.md"), "w") as f:
+    with open(os.path.join(work, ab_name + ".md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
     return 0
