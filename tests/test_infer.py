@@ -255,3 +255,35 @@ def test_cli_decode_postprocess_smooth(identity_model, tmp_path, reference_dir):
     assert os.path.exists(
         tmp_path / "pp" /
         "White_SNR5_NOISY_TEST_DR2_MWEW0_SX11_enhanced.wav")
+
+
+def test_enhancer_8khz_end_to_end(tmp_path):
+    """Batch decode at 8 kHz (256/128 framing, 129 bins): identity model
+    round-trips, fast path bitwise-matches, wrong-rate model rejected."""
+    from tpu_se.infer import Enhancer
+    from tpu_se.io import write_wts
+    from tpu_se.io.norm import write_norm
+    from tpu_se.models import init_params, params_to_wts
+
+    dim, ctx = 129, 7
+    wts = str(tmp_path / "m8.wts")
+    write_wts(wts, params_to_wts(init_params(5, (dim * ctx, 24, dim))))
+    norm = str(tmp_path / "m8.norm")
+    rng = np.random.default_rng(6)
+    write_norm(norm, rng.normal(size=dim).astype(np.float32),
+               (1.0 / (1.0 + rng.random(dim))).astype(np.float32))
+
+    enh = Enhancer(wts, norm, sample_rate=8000)
+    waves = [(rng.normal(size=n) * 2000).astype(np.int16)
+             for n in (4000, 9000)]
+    singles = [enh.enhance(w) for w in waves]
+    t0 = (len(waves[0]) - 128) // 128
+    assert singles[0][0].shape == (t0 * 128 + 128,)
+    assert singles[0][2].shape == (t0, dim)
+    fast = enh.enhance_batch_waves(waves)
+    full = enh.enhance_batch(waves)
+    for got, want in zip(fast, full):
+        np.testing.assert_array_equal(got, want[0])
+
+    with pytest.raises(ValueError, match="bins"):
+        Enhancer(wts, norm, sample_rate=16000)

@@ -266,9 +266,11 @@ def cmd_decode(args) -> int:
         from tpu_se.parallel import make_mesh
 
         mesh = make_mesh(args.mesh_data, 1)
+    sample_rate = {8: 8000, 11: 11025, 16: 16000}[args.fs]
     decode_files(args.wts, args.norm, wavs, args.out_dir, cleans, mesh=mesh,
                  noisy_info=args.ni, batch_size=args.batch,
-                 postprocess=args.postprocess, smooth=args.smooth)
+                 postprocess=args.postprocess, smooth=args.smooth,
+                 sample_rate=sample_rate)
     return 0
 
 
@@ -424,6 +426,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="residual-noise running-min smoothing "
                         "(LogSpec2Wav_be SMOOTHPROCESS build, "
                         "LogSpec2Wav.c:497-546)")
+    s.add_argument("-fs", type=int, default=16, choices=[8, 11, 16],
+                   help="sampling rate in kHz — the model's bin count "
+                        "must match (129/129/257)")
     s.set_defaults(func=cmd_decode)
     return p
 

@@ -175,9 +175,17 @@ class Enhancer:
 
     def __init__(self, wts_path, norm_path, context: int = 7,
                  compute_dtype=jnp.float32, postprocess: bool = False,
-                 smooth: bool = False, mesh=None):
+                 smooth: bool = False, mesh=None, sample_rate: int = 16000):
+        from tpu_se.dsp.analysis import rate_config
+
         self.params = params_from_wts(read_wts(wts_path))
         dim = self.params[-1]["b"].shape[0]
+        (self.frame_length, self.frame_shift,
+         fft_length) = rate_config(sample_rate)
+        if fft_length // 2 + 1 != dim:
+            raise ValueError(f"model dim {dim} != {fft_length // 2 + 1} "
+                             f"bins at {sample_rate} Hz")
+        self.sample_rate = sample_rate
         mean, inv_std = read_norm(norm_path, dim)
         self.mean = jnp.asarray(mean)
         self.inv_std = jnp.asarray(inv_std)
@@ -229,8 +237,10 @@ class Enhancer:
         postprocess/smooth options (which sit between forward and
         synthesis, ``LogSpec2Wav.c:497-546,655-679``).
         """
-        frames = frame_signal(noisy_wave)
+        frames = frame_signal(noisy_wave, self.frame_length,
+                              self.frame_shift)
         t = frames.shape[0]
+        n_bins = self.frame_length // 2 + 1
         if self.smooth or self.postprocess:
             lps = np.asarray(lps_from_frames(jnp.asarray(frames)))
             enh_lps = self.enhance_lps(lps)
@@ -240,15 +250,15 @@ class Enhancer:
                 enh_lps = np.log(smooth_power(power)).astype(np.float32)
             if self.postprocess:
                 enh_lps = postprocess_lps(enh_lps, lps)
-            wave, recon = reconstruct(enh_lps, noisy_wave)
+            wave, recon = reconstruct(enh_lps, noisy_wave, self.sample_rate)
             return wave, recon, enh_lps
 
         if t == 0:
-            return (np.zeros(0, np.int16), np.zeros((0, FRAME_LENGTH),
-                    np.float32), np.zeros((0, NUM_BINS), np.float32))
+            return (np.zeros(0, np.int16), np.zeros((0, self.frame_length),
+                    np.float32), np.zeros((0, n_bins), np.float32))
         bucket = self._pad_bucket(FRAME_BUCKET)
         t_pad = -(-t // bucket) * bucket
-        frames_p = np.zeros((t_pad, FRAME_LENGTH), dtype=np.float32)
+        frames_p = np.zeros((t_pad, self.frame_length), dtype=np.float32)
         frames_p[:t] = frames
         frames_j, n_valid = jnp.asarray(frames_p), jnp.int32(t)
         if self.mesh is not None:
@@ -256,9 +266,9 @@ class Enhancer:
             n_valid = self._shard_scalar(n_valid)
         wave, recon, enh = _decode_device(
             self.params, frames_j, self.mean, self.inv_std,
-            n_valid, FRAME_SHIFT, self.context, self.compute_dtype)
-        wave = np.asarray(wave)[: t * FRAME_SHIFT
-                                + (FRAME_LENGTH - FRAME_SHIFT)]
+            n_valid, self.frame_shift, self.context, self.compute_dtype)
+        wave = np.asarray(wave)[: t * self.frame_shift
+                                + (self.frame_length - self.frame_shift)]
         return (np.trunc(wave).astype(np.int16), np.asarray(recon)[:t],
                 np.asarray(enh)[:t])
 
@@ -278,7 +288,8 @@ class Enhancer:
         """
         if self.smooth or self.postprocess or not waves:
             return [self.enhance(w) for w in waves]
-        frames = [frame_signal(w) for w in waves]
+        frames = [frame_signal(w, self.frame_length, self.frame_shift)
+                  for w in waves]
         ts = [f.shape[0] for f in frames]
         if max(ts) == 0:
             return [self.enhance(w) for w in waves]
@@ -288,7 +299,8 @@ class Enhancer:
         if self.mesh is not None:
             b_bucket = -(-b_bucket // self._n_data) * self._n_data
         b_pad = -(-len(waves) // b_bucket) * b_bucket
-        frames_b = np.zeros((b_pad, t_pad, FRAME_LENGTH), dtype=np.float32)
+        frames_b = np.zeros((b_pad, t_pad, self.frame_length),
+                            dtype=np.float32)
         for i, f in enumerate(frames):
             frames_b[i, : ts[i]] = f
         n_valid = np.zeros(b_pad, dtype=np.int32)
@@ -303,18 +315,19 @@ class Enhancer:
                 n_valid_j, NamedSharding(self.mesh, P("data")))
         wave_b, recon_b, enh_b = _decode_device_batch(
             self.params, frames_j, self.mean, self.inv_std, n_valid_j,
-            FRAME_SHIFT, self.context, self.compute_dtype)
+            self.frame_shift, self.context, self.compute_dtype)
         wave_b = np.asarray(wave_b)
         recon_b, enh_b = np.asarray(recon_b), np.asarray(enh_b)
         out = []
-        tail = FRAME_LENGTH - FRAME_SHIFT
+        tail = self.frame_length - self.frame_shift
         for i, t in enumerate(ts):
             if t == 0:
                 out.append((np.zeros(0, np.int16),
-                            np.zeros((0, FRAME_LENGTH), np.float32),
-                            np.zeros((0, NUM_BINS), np.float32)))
+                            np.zeros((0, self.frame_length), np.float32),
+                            np.zeros((0, self.frame_length // 2 + 1),
+                                     np.float32)))
                 continue
-            wave = np.trunc(wave_b[i, : t * FRAME_SHIFT + tail]
+            wave = np.trunc(wave_b[i, : t * self.frame_shift + tail]
                             ).astype(np.int16)
             out.append((wave, recon_b[i, :t], enh_b[i, :t]))
         return out
@@ -329,10 +342,11 @@ class Enhancer:
         Requires the 50 %-overlap config (frame_length == 2 * shift); the
         postprocess/smooth options fall back to the staged path.
         """
+        shift = self.frame_shift
         if (self.smooth or self.postprocess or not waves
-                or FRAME_LENGTH != 2 * FRAME_SHIFT):
+                or self.frame_length != 2 * shift):
             return [self.enhance(w)[0] for w in waves]
-        ts = [max(0, (len(w) - FRAME_SHIFT) // FRAME_SHIFT) for w in waves]
+        ts = [max(0, (len(w) - shift) // shift) for w in waves]
         if max(ts) == 0:
             return [self.enhance(w)[0] for w in waves]
         bucket = self._pad_bucket(FRAME_BUCKET)
@@ -341,10 +355,9 @@ class Enhancer:
         if self.mesh is not None:
             b_bucket = -(-b_bucket // self._n_data) * self._n_data
         b_pad = -(-len(waves) // b_bucket) * b_bucket
-        waves_b = np.zeros((b_pad, (t_pad + 1) * FRAME_SHIFT),
-                           dtype=np.int16)
+        waves_b = np.zeros((b_pad, (t_pad + 1) * shift), dtype=np.int16)
         for i, w in enumerate(waves):
-            n = (ts[i] + 1) * FRAME_SHIFT if ts[i] else 0
+            n = (ts[i] + 1) * shift if ts[i] else 0
             waves_b[i, :n] = np.asarray(w[:n], dtype=np.int16)
         n_valid = np.zeros(b_pad, dtype=np.int32)
         n_valid[: len(ts)] = ts
@@ -358,9 +371,9 @@ class Enhancer:
                 n_valid_j, NamedSharding(self.mesh, P("data")))
         wave_b = np.asarray(_decode_device_batch_waves(
             self.params, waves_j, self.mean, self.inv_std, n_valid_j,
-            FRAME_SHIFT, self.context, self.compute_dtype))
-        tail = FRAME_LENGTH - FRAME_SHIFT
-        return [wave_b[i, : t * FRAME_SHIFT + tail] if t
+            shift, self.context, self.compute_dtype))
+        tail = self.frame_length - shift
+        return [wave_b[i, : t * shift + tail] if t
                 else np.zeros(0, np.int16) for i, t in enumerate(ts)]
 
 
@@ -373,7 +386,8 @@ def decode_files(wts_path, norm_path, wav_paths: list, out_dir,
                  clean_paths: list | None = None, log=print,
                  mesh=None, noisy_info: bool = False,
                  batch_size: int = 0, postprocess: bool = False,
-                 smooth: bool = False) -> list[dict]:
+                 smooth: bool = False, sample_rate: int = 16000
+                 ) -> list[dict]:
     """decode.m batch loop: enhance each wav, write *_enhanced.wav + info.
 
     With ``clean_paths`` given, per-utterance SegSNR/LSD (enhanced and noisy
@@ -390,9 +404,15 @@ def decode_files(wts_path, norm_path, wav_paths: list, out_dir,
     """
     os.makedirs(out_dir, exist_ok=True)
     enh = Enhancer(wts_path, norm_path, mesh=mesh,
-                   postprocess=postprocess, smooth=smooth)
+                   postprocess=postprocess, smooth=smooth,
+                   sample_rate=sample_rate)
     if batch_size > 1:
         waves_srs = [read_wav(p) for p in wav_paths]
+        norm_sr = 11000 if sample_rate == 11025 else sample_rate
+        for (_, sr), p in zip(waves_srs, wav_paths):
+            if (11000 if sr == 11025 else sr) != norm_sr:
+                raise ValueError(f"{p}: sample rate {sr} != decoder's "
+                                 f"{sample_rate} (pass sample_rate=)")
         outputs = []
         for lo in range(0, len(waves_srs), batch_size):
             chunk = [w for w, _ in waves_srs[lo: lo + batch_size]]
