@@ -151,3 +151,27 @@ def test_graft_entry_contract(devices8):
     out = jax.jit(fn)(*args)
     assert out.shape == (128, 257)
     ge.dryrun_multichip(8)
+
+
+def test_sharded_wave_fast_path_matches_single(devices8, tmp_path):
+    """enhance_batch_waves with the batch axis sharded over the data mesh
+    == the unsharded fast path, bitwise."""
+    from tpu_se.infer import Enhancer
+    from tpu_se.io import write_norm, write_wts
+    from tpu_se.models import params_to_wts
+
+    params = init_params(17, (1799, 32, 32, 257))
+    wts, norm = str(tmp_path / "m.wts"), str(tmp_path / "m.norm")
+    write_wts(wts, params_to_wts(params))
+    rng = np.random.default_rng(5)
+    write_norm(norm, rng.normal(size=257).astype(np.float32),
+               (0.5 + rng.random(257)).astype(np.float32))
+    waves = [(rng.normal(size=n) * 3000).astype(np.int16)
+             for n in (8000, 12000, 5000)]
+
+    single = Enhancer(wts, norm)
+    sharded = Enhancer(wts, norm, mesh=make_mesh(8, 1))
+    got = sharded.enhance_batch_waves(waves)
+    want = single.enhance_batch_waves(waves)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
