@@ -287,3 +287,20 @@ def test_enhancer_8khz_end_to_end(tmp_path):
 
     with pytest.raises(ValueError, match="bins"):
         Enhancer(wts, norm, sample_rate=16000)
+
+
+def test_decode_files_rejects_rate_mismatch_per_utt(identity_model, tmp_path):
+    """Regression: the default per-utterance path (batch_size=1) must raise
+    on a wav whose header rate differs from the decoder's, like the batch
+    path does — not silently frame it with the wrong config."""
+    import pytest as _pytest
+
+    from tpu_se.infer import decode_files
+    from tpu_se.io import write_wav
+
+    wts, norm = identity_model
+    wav8k = str(tmp_path / "eight_k.wav")
+    write_wav(wav8k, np.zeros(4096, dtype=np.int16), 8000)
+    with _pytest.raises(ValueError, match="sample rate"):
+        decode_files(wts, norm, [wav8k], str(tmp_path / "out"),
+                     log=lambda s: None)

@@ -156,3 +156,32 @@ def test_push_many_int16_wire_matches_float(small_model):
     assert out_i.dtype == np.int16
     np.testing.assert_array_equal(valid_f, valid_i)
     np.testing.assert_array_equal(np.trunc(out_f).astype(np.int16), out_i)
+
+
+def test_feed_out_of_range_integers_skip_int16_wire(small_model):
+    """Integer-valued floats beyond int16 range (e.g. 24-bit PCM passed as
+    float) must NOT ride the int16 wire — the cast would wrap them. feed()
+    must process them through the float path, matching a scaled reference."""
+    from tpu_se.infer import StreamingEnhancer
+
+    wts, norm = small_model
+    rng = np.random.default_rng(7)
+    n = 256 * (StreamingEnhancer.SCAN_HOPS + 2)
+    loud = np.trunc(rng.normal(size=n) * 70000.0).astype(np.float32)
+
+    a = StreamingEnhancer(wts, norm)
+    out_loud = np.concatenate([a.feed(loud), a.flush()])
+
+    # Reference: same signal through the explicit float32 push() path.
+    b = StreamingEnhancer(wts, norm)
+    pieces = []
+    for h in range(n // 256):
+        out = b.push(loud[h * 256:(h + 1) * 256][None, :])
+        if out is not None:
+            pieces.append(np.trunc(out[0]))
+    pieces.append(b.flush())
+    ref = np.concatenate(pieces)
+    k = min(len(ref), len(out_loud))
+    diff = np.abs(out_loud[:k].astype(np.int32)
+                  - ref[:k].astype(np.int32))
+    assert diff.max() <= 1            # float path, not int16-wrapped garbage

@@ -61,7 +61,7 @@ def main() -> int:
 
     platform = jax.devices()[0].platform
     enh = Enhancer(wts, norm)
-    shift, sr = 256, 16000.0
+    shift, sr = enh.frame_shift, float(enh.sample_rate)
     n_samples = (args.frames + 1) * shift
     utts = [(rng.normal(size=n_samples) * 1000).astype(np.float32)
             .astype(np.int16) for _ in range(args.utts)]
@@ -117,9 +117,12 @@ def main() -> int:
         for _ in range(args.reps):
             for b in batches:
                 outs = enh.enhance_batch_waves(b)
-                total_frames += sum((len(o) - 256) // 256
+                total_frames += sum((len(o) - shift) // shift
                                     for o in outs if len(o))
-        _ = int(outs[-1][-1])
+        for o in reversed(outs):             # sync on a non-empty output
+            if len(o):
+                _ = int(o[-1])
+                break
         dt = time.perf_counter() - t0
         wfps = total_frames / dt
         print(f"wave-only (B={args.batch}): {wfps:,.0f} frames/s = "

@@ -234,7 +234,10 @@ def cmd_decode(args) -> int:
                                           ("--batch", args.batch > 0),
                                           ("--clean-scp", cleans is not None),
                                           ("--postprocess", args.postprocess),
-                                          ("--smooth", args.smooth))
+                                          ("--smooth", args.smooth),
+                                          # streaming uses each wav's header
+                                          # rate, not the requested one
+                                          ("-fs", args.fs != 16))
                    if val]
         if ignored:
             print(f"warning: --stream ignores {', '.join(ignored)}",

@@ -425,10 +425,14 @@ def decode_files(wts_path, norm_path, wav_paths: list, out_dir,
                 outputs.extend(enh.enhance_batch(chunk))
     else:
         waves_srs = outputs = None
+    norm_sr = 11000 if sample_rate == 11025 else sample_rate
     results = []
     for i, path in enumerate(wav_paths):
         noisy, sr = (waves_srs[i] if waves_srs is not None
                      else read_wav(path))
+        if (11000 if sr == 11025 else sr) != norm_sr:
+            raise ValueError(f"{path}: sample rate {sr} != decoder's "
+                             f"{sample_rate} (pass sample_rate=)")
         wave, recon, enh_lps = (outputs[i] if outputs is not None
                                 else enh.enhance(noisy))
         stem = os.path.splitext(os.path.basename(str(path)))[0]

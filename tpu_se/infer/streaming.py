@@ -352,7 +352,11 @@ class StreamingEnhancer:
         i = 0
         # Full SCAN_HOPS groups go through the scanned multi-hop program
         # (one dispatch per group); stragglers through the single-hop step.
-        int_input = float(np.sum(buf != np.trunc(buf))) == 0.0
+        # The int16 wire wraps values outside [-32768, 32767]; only ride it
+        # for genuine 16-bit PCM (integer-valued AND in range).
+        int_input = buf.size == 0 or (
+            float(np.sum(buf != np.trunc(buf))) == 0.0
+            and float(np.abs(buf).max()) < 32768.0)
         while n_hops - i >= self.SCAN_HOPS:
             chunk = buf[i * shift:(i + self.SCAN_HOPS) * shift]
             # PCM (integer-valued) input rides the int16 wire: half the
