@@ -1,0 +1,119 @@
+"""`tpu_se bptrain key=value ...` — the BPtrain_Sigmoid drop-in shim.
+
+A finetune.pl-style driver must work by swapping only the binary name:
+the tests below feed the shim the reference's exact argument strings
+(``finetune.pl:50-76``) against the bundled 10-sentence pfile shard.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _finetune_pl_args(d, ref, layersizes="1799,2048,2048,2048,257",
+                      initwts="", seed=27870775, lrate=0.1,
+                      extra=()):
+    """The exact key=value strings finetune.pl:50-76 assembles (iteration
+    1), one list element per `" key=value"` fragment, same order."""
+    numlayers = len(layersizes.split(",")) - 1
+    return [
+        f"gpu_used=0",
+        f"numlayers={numlayers}",            # silently ignored, like the ref
+        f"layersizes={layersizes}",
+        f"bunchsize=128",
+        f"MLflag=1",
+        f"shapefactor=1",
+        f"momentum=0.9",
+        f"weightcost=0.00001",
+        f"lrate={lrate}",
+        f"fea_dim=257",
+        f"fea_context=7",
+        f"traincache=102400",
+        f"init_randem_seed={seed}",
+        f"targ_offset=3",
+        f"initwts_file={initwts}",
+        f"norm_file={ref}/tools_pfile/train_noisy.norm",
+        f"fea_file={ref}/tools_pfile/train_noisy.pfile",
+        f"targ_file={ref}/tools_pfile/train_clean.pfile",
+        f"outwts_file={d}/mlp.1.wts",
+        f"log_file={d}/mlp.1.log",
+        f"train_sent_range=0-7",
+        f"cv_sent_range=8-9",
+        f"dropoutflag=0",
+        f"visible_omit=0.1",
+        f"hid_omit=0.1",
+    ] + list(extra)
+
+
+def test_bptrain_exact_finetune_strings(reference_dir, tmp_path):
+    """The verbatim finetune.pl iteration-1 command (full 1799-2048^3-257
+    topology) runs one epoch and writes outwts_file + log_file with the
+    reference's CV metric lines (``BPtrain.cc:131-139``)."""
+    from tpu_se.cli.main import main
+    from tpu_se.io import read_wts
+    from tpu_se.models import init_params, params_to_wts
+    from tpu_se.io.wts import write_wts
+
+    init = str(tmp_path / "Rand_1799_3hid2048_257_beta2.wts")
+    write_wts(init, params_to_wts(init_params(1, (1799, 2048, 2048,
+                                                  2048, 257))))
+    rc = main(["bptrain"] + _finetune_pl_args(
+        tmp_path, reference_dir, initwts=init))
+    assert rc == 0
+    out = read_wts(str(tmp_path / "mlp.1.wts"))
+    assert [layer["w"].shape for layer in out] == [
+        (1799, 2048), (2048, 2048), (2048, 2048), (2048, 257)]
+    log = (tmp_path / "mlp.1.log").read_text()
+    assert "CV over. squared error:" in log
+    assert "CV over. square root squared error:" in log
+    assert "CV2 over. CV log likelihood:" in log
+    assert "Total cost time:" in log
+    # metrics in the log are finite numbers
+    sq = float(log.split("CV over. squared error:")[1].split()[0])
+    assert np.isfinite(sq)
+
+
+def test_bptrain_matches_train_command_epoch1(reference_dir, tmp_path):
+    """bptrain (one reference-binary epoch) is bit-identical to epoch 1 of
+    the multi-epoch `train` command given the same init/seed/config."""
+    from tpu_se.cli.main import main
+    from tpu_se.io import read_wts
+    from tpu_se.models import init_params, params_to_wts
+    from tpu_se.io.wts import write_wts
+
+    sizes = "1799,64,64,257"
+    init = str(tmp_path / "init.wts")
+    write_wts(init, params_to_wts(init_params(3, (1799, 64, 64, 257))))
+
+    rc = main(["bptrain"] + _finetune_pl_args(
+        tmp_path, reference_dir, layersizes=sizes, initwts=init, seed=777))
+    assert rc == 0
+
+    out_dir = str(tmp_path / "train_cmd")
+    rc = main(["train",
+               "--fea-file", f"{reference_dir}/tools_pfile/train_noisy.pfile",
+               "--targ-file", f"{reference_dir}/tools_pfile/train_clean.pfile",
+               "--norm-file", f"{reference_dir}/tools_pfile/train_noisy.norm",
+               "--init-wts", init, "--out-dir", out_dir,
+               "--layersizes", sizes, "--epochs", "1", "--seed", "777"])
+    assert rc == 0
+
+    a = read_wts(str(tmp_path / "mlp.1.wts"))
+    b = read_wts(os.path.join(out_dir, "mlp.1.wts"))
+    assert len(a) == len(b)
+    for la, lb in zip(a, b):
+        np.testing.assert_array_equal(la["w"], lb["w"])
+        np.testing.assert_array_equal(la["b"], lb["b"])
+
+
+def test_bptrain_format_error_and_unknown_keys(reference_dir, tmp_path):
+    """An arg without '=' is a format error (Interface.cc:153-157); an
+    unknown key WITH '=' is silently ignored (how numlayers= passes)."""
+    from tpu_se.cli.bptrain import parse_kv
+
+    with pytest.raises(SystemExit, match="Format Error"):
+        parse_kv(["bunchsize"])
+    cfg = parse_kv(["numlayers=4", "some_future_key=zzz", "bunchsize=64"])
+    assert cfg["bunchsize"] == 64
+    assert "numlayers" not in cfg

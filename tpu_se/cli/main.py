@@ -7,6 +7,7 @@ Commands (reference equivalents in parentheses):
 - ``get-norm``     (get_norm.pl + qnnorm): pfile -> .norm
 - ``gen-rand-net`` (Gen_rand_net): random-init .wts
 - ``train``        (finetune.pl + BPtrain_Sigmoid): full epoch schedule
+- ``bptrain``      (BPtrain_Sigmoid): drop-in key=value single-epoch shim
 - ``decode``       (decode.m + LPS2Wav_be): noisy wavs -> enhanced wavs
 - ``pfile-info``   (QuickNet pfile_info): inspect pfile headers/sentences
 - ``wts-info``     inspect .wts weight files (shapes, stats)
@@ -437,7 +438,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    raw = sys.argv[1:] if argv is None else list(argv)
+    if raw and raw[0] == "bptrain":
+        # Drop-in BPtrain_Sigmoid front-end: key=value argument strings
+        # (Interface.cc:150-315), bypassing argparse entirely so a
+        # finetune.pl-style driver works by swapping the binary name.
+        from tpu_se.cli.bptrain import main as bptrain_main
+        return bptrain_main(raw[1:])
+    args = build_parser().parse_args(raw)
     try:
         return args.func(args)
     except BrokenPipeError:
