@@ -175,3 +175,26 @@ def test_sharded_wave_fast_path_matches_single(devices8, tmp_path):
     want = single.enhance_batch_waves(waves)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
+
+
+def test_sharded_streaming_matches_single(devices8, tmp_path):
+    """StreamingEnhancer with the stream axis sharded over the data mesh ==
+    unsharded multi-stream push_many, bitwise on the int16 wire."""
+    from tpu_se.infer import StreamingEnhancer
+    from tpu_se.io import write_norm, write_wts
+    from tpu_se.models import params_to_wts
+
+    params = init_params(19, (1799, 32, 32, 257))
+    wts, norm = str(tmp_path / "m.wts"), str(tmp_path / "m.norm")
+    write_wts(wts, params_to_wts(params))
+    rng = np.random.default_rng(6)
+    write_norm(norm, rng.normal(size=257).astype(np.float32),
+               (0.5 + rng.random(257)).astype(np.float32))
+    hops = (rng.normal(size=(8, 12, 256)) * 3000).astype(np.int16)
+
+    single = StreamingEnhancer(wts, norm, n_streams=8)
+    sharded = StreamingEnhancer(wts, norm, n_streams=8, mesh=make_mesh(8, 1))
+    out_s, valid_s = single.push_many(hops, int16_wire=True)
+    out_m, valid_m = sharded.push_many(hops, int16_wire=True)
+    np.testing.assert_array_equal(valid_s, valid_m)
+    np.testing.assert_array_equal(out_s, out_m)

@@ -260,7 +260,7 @@ class StreamingEnhancer:
 
     def __init__(self, wts_path, norm_path, n_streams: int = 1,
                  context: int = 7, compute_dtype=jnp.float32,
-                 sample_rate: int = 16000):
+                 sample_rate: int = 16000, mesh=None):
         self.params = params_from_wts(read_wts(wts_path))
         dim = self.params[-1]["b"].shape[0]
         mean, inv_std = read_norm(norm_path, dim)
@@ -279,6 +279,32 @@ class StreamingEnhancer:
         self.n_streams = n_streams
         self.state = _init_state(n_streams, self.frame_length,
                                  self.frame_shift, self.n_bins, context)
+        self.mesh = mesh
+        self._hop_put = jnp.asarray
+        if mesh is not None:
+            # Multi-chip serving: independent channels shard over the
+            # 'data' axis (state + hops on axis 0), weights replicated —
+            # every stream step then runs SPMD with zero collectives (the
+            # channels never interact).
+            from tpu_se.parallel import batch_sharding, replicated_sharding
+            data = mesh.shape["data"]
+            if n_streams % data:
+                raise ValueError(f"n_streams {n_streams} not divisible by "
+                                 f"mesh data axis {data}")
+            rep = replicated_sharding(mesh)
+            self.params = jax.device_put(self.params, rep)
+            self.mean = jax.device_put(self.mean, rep)
+            self.inv_std = jax.device_put(self.inv_std, rep)
+            self.state = StreamState(*(
+                jax.device_put(a, batch_sharding(mesh, a.ndim, 0))
+                for a in self.state))
+
+            def _hop_put(hops, _mesh=mesh):
+                arr = jnp.asarray(hops)
+                return jax.device_put(
+                    arr, batch_sharding(_mesh, arr.ndim, 0))
+
+            self._hop_put = _hop_put
         self._pushed = 0          # frames pushed into the rings (real+flush)
         self._hops = 0            # input hops consumed
         self._pending = np.zeros((0,), dtype=np.float32)
@@ -298,8 +324,8 @@ class StreamingEnhancer:
         ``None`` during the first ``warmup_hops - 1`` calls."""
         self.state, out = _stream_step(
             self.params, self.mean, self.inv_std, self.state,
-            jnp.asarray(hops, dtype=jnp.float32), self.frame_shift,
-            self.compute_dtype)
+            self._hop_put(np.asarray(hops, dtype=np.float32)),
+            self.frame_shift, self.compute_dtype)
         self._hops += 1
         if self._hops >= self.ring_hops:
             self._pushed += 1
@@ -326,13 +352,13 @@ class StreamingEnhancer:
         if int16_wire:
             self.state, outs = _stream_scan_i16(
                 self.params, self.mean, self.inv_std, self.state,
-                jnp.asarray(hops, dtype=jnp.int16), self.frame_shift,
-                self.compute_dtype)
+                self._hop_put(np.asarray(hops, dtype=np.int16)),
+                self.frame_shift, self.compute_dtype)
         else:
             self.state, outs = _stream_scan(
                 self.params, self.mean, self.inv_std, self.state,
-                jnp.asarray(hops, dtype=jnp.float32), self.frame_shift,
-                self.compute_dtype)
+                self._hop_put(np.asarray(hops, dtype=np.float32)),
+                self.frame_shift, self.compute_dtype)
         self._hops += k
         self._pushed += (max(0, self._hops - (self.ring_hops - 1))
                          - max(0, h0 - (self.ring_hops - 1)))
