@@ -13,7 +13,14 @@ Two corpus modes (written to <workdir>/<corpus>/):
 
 - ``--corpus small``: the 11 raw train pairs (9 train + 2 CV, ~2k frames)
   — fast smoke-scale A/B; heavily data-starved.
-- ``--corpus remix`` (default): the demo pairs are sample-aligned additive
+- ``--corpus big`` (default, round 3): the remix recipe scaled ~15x — 12
+  clean sentences (incl. the 2 unused ``Feature_prepare/data`` TIMIT wavs)
+  x 11 extracted noise tracks x SNR {-5..25 step 5} x 8 variants (random
+  circular noise offsets, 50% time-reversed noise, +/-2.5 dB SNR jitter)
+  = 7392 mixtures / ~1.3M train frames.  The widened SNR grid (up to
+  quasi-clean 25 dB) is what teaches the model near-identity at high SNR,
+  where the round-2 remix models degraded the input.
+- ``--corpus remix``: the demo pairs are sample-aligned additive
   mixtures (residual noisy-clean is uncorrelated with clean and matches
   the labeled SNR), so the 11 train-condition noise tracks are extracted
   and remixed over the 11 train clean sentences at SNR {-5,0,5,10} ->
@@ -56,6 +63,25 @@ ARMS = {
 
 
 SNRS = (-5.0, 0.0, 5.0, 10.0)
+
+# --corpus big (round 3): the data-starvation fix the round-2 verdict
+# prescribes.  Same extracted-noise remix idea, scaled ~15x:
+# - clean material: the 10 unique train-condition TIMIT sentences PLUS the
+#   2 unused wavs in Feature_prepare/data (TEST_DR8_MPAM0_*).
+# - SNR grid widened to 25 dB so the model sees quasi-clean input and
+#   learns near-identity there (the round-2 models degraded the high-SNR
+#   held-out condition);
+# - per (sentence x noise x SNR): BIG_VARIANTS mixtures, each with a random
+#   circular offset into the noise track, 50% time-reversed noise, and a
+#   +/-2.5 dB noise-gain jitter around the grid SNR (continuous SNR
+#   coverage).
+# 12 sentences x 11 noises x 7 SNRs x 8 variants = 7392 mixtures,
+# ~1.3M train frames (vs 484 / ~90k in --corpus remix).
+BIG_SNRS = (-5.0, 0.0, 5.0, 10.0, 15.0, 20.0, 25.0)
+BIG_VARIANTS = 8
+BIG_SNR_JITTER = 2.5
+EXTRA_CLEAN = ("Feature_prepare/data/TEST_DR8_MPAM0_SX289.wav",
+               "Feature_prepare/data/TEST_DR8_MPAM0_SX379.wav")
 
 
 def _demo_pairs():
@@ -102,6 +128,38 @@ def build_corpus(work: str, corpus: str):
                           c[:t].astype(np.float32)))
         if corpus == "small":
             mixtures = [(n, c) for n, c in waves]
+        elif corpus == "big":
+            noises = [n - c for n, c in waves]
+            # Unique clean sentences (conditions share sentences) + the two
+            # unused Feature_prepare TIMIT wavs.
+            cleans, seen = [], set()
+            for (nw, _), (_, c) in zip(train_pairs, waves):
+                sent = os.path.basename(nw).split("_NOISY_")[1]
+                if sent not in seen:
+                    seen.add(sent)
+                    cleans.append(c)
+            for rel in EXTRA_CLEAN:
+                w, sr = read_wav(os.path.join(REFERENCE, rel))
+                assert sr == 16000
+                cleans.append(w.astype(np.float32))
+            rng = np.random.default_rng(12345)
+            mixtures = []
+            for c in cleans:
+                p_c = float(np.mean(c ** 2)) + 1e-12
+                for noise in noises:
+                    for snr in BIG_SNRS:
+                        for k in range(BIG_VARIANTS):
+                            nz = noise[::-1] if k % 2 else noise
+                            off = int(rng.integers(len(nz)))
+                            nz = np.roll(nz, off)
+                            nz = (np.tile(nz, len(c) // len(nz) + 1)[:len(c)]
+                                  if len(nz) < len(c) else nz[:len(c)])
+                            p_n = float(np.mean(nz ** 2)) + 1e-12
+                            s = snr + float(rng.uniform(-BIG_SNR_JITTER,
+                                                        BIG_SNR_JITTER))
+                            g = np.sqrt(p_c / (p_n * 10.0 ** (s / 10.0)))
+                            mixtures.append((c + np.float32(g) * nz, c))
+            mixtures += [(n, c) for n, c in waves]      # CV block
         else:
             # Extract the 11 train-condition noise tracks and remix every
             # train clean sentence with every noise at each SNR; the 11
@@ -151,7 +209,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("workdir", nargs="?", default="artifacts/ab_objectives")
     ap.add_argument("--epochs", type=int, default=50)
-    ap.add_argument("--corpus", choices=("small", "remix"), default="remix")
+    ap.add_argument("--corpus", choices=("small", "remix", "big"),
+                    default="big")
+    ap.add_argument("--build-only", action="store_true",
+                    help="build the corpus pfiles and exit (run this under "
+                         "JAX_PLATFORMS=cpu so the LPS extraction doesn't "
+                         "ride the TPU relay; the training run then skips "
+                         "the build by existence)")
     ap.add_argument("--seed", type=int, default=0,
                     help="init-seed offset (0 = the reference default "
                          "27870775); nonzero runs land in s<seed>/ subdirs "
@@ -175,6 +239,9 @@ def main() -> int:
     os.makedirs(work, exist_ok=True)
     noisy_pfile, clean_pfile, norm_file, train_range, cv_range, test_pairs \
         = build_corpus(work, args.corpus)
+    if args.build_only:
+        print("corpus built; exiting (--build-only)")
+        return 0
 
     # ---- train both arms (identical seed/schedule; resume-by-existence) ----
     arm_root = os.path.join(work, f"s{args.seed}") if args.seed else work
@@ -241,6 +308,12 @@ def main() -> int:
                  "11 train clean sentences x SNR {-5,0,5,10}) + the 11 real "
                  "pairs as CV (~90k frames); held-out noise types and "
                  "sentences excluded from training",
+        "big": "7392 remixed mixtures (12 clean sentences incl. the 2 "
+               "unused Feature_prepare TIMIT wavs x 11 extracted train-"
+               "noise tracks x SNR {-5..25 step 5} x 8 variants with "
+               "random circular noise offsets, 50% time-reversed noise, "
+               "+/-2.5 dB SNR jitter) + the 11 real pairs as CV (~1.3M "
+               "frames); held-out noise types and sentences excluded",
     }[args.corpus]
     lines = [
         "# MMSE vs ML-GGD A/B — models trained by tpu_se",
