@@ -61,6 +61,56 @@ def main() -> int:
         write_norm(norm, rng.normal(size=257).astype(np.float32),
                    (1.0 / (1.0 + rng.random(257))).astype(np.float32))
 
+    import functools
+
+    import jax.numpy as jnp
+
+    from tpu_se.infer.streaming import _stream_step
+
+    @functools.partial(jax.jit, static_argnames=("k", "frame_shift"),
+                       donate_argnums=(3,))
+    def _device_hops(params, mean, inv_std, state, hop, k, frame_shift):
+        """k hop steps in ONE dispatch with a device-resident hop and a
+        donated state: wall time is (one RTT + transfer) + k * t_device,
+        so differencing two k values isolates pure device compute/hop."""
+
+        def body(st, _):
+            st, out = _stream_step(params, mean, inv_std, st, hop,
+                                   frame_shift)
+            return st, out[0, 0]
+
+        st, outs = jax.lax.scan(body, state, None, length=k)
+        return st, outs[-1]
+
+    def device_only_ms(enh, s_count, reps=12, k1=64, k2=256):
+        """Per-hop device-compute time via the two-point method; returns
+        (p50, p99) over ``reps`` paired measurements."""
+        from tpu_se.infer.streaming import _init_state
+
+        rng = np.random.default_rng(2)
+        hop_dev = jnp.asarray((rng.normal(size=(s_count, enh.frame_shift))
+                               * 1000).astype(np.float32))
+        mk = lambda: _init_state(s_count, enh.frame_length,  # noqa: E731
+                                 enh.frame_shift, enh.n_bins, enh.context)
+        for k in (k1, k2):   # compile both programs
+            st, out = _device_hops(enh.params, enh.mean, enh.inv_std, mk(),
+                                   hop_dev, k, enh.frame_shift)
+            _ = float(out)
+        per_hop = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            st, out = _device_hops(enh.params, enh.mean, enh.inv_std, mk(),
+                                   hop_dev, k1, enh.frame_shift)
+            _ = float(out)
+            t1 = time.perf_counter()
+            st, out = _device_hops(enh.params, enh.mean, enh.inv_std, mk(),
+                                   hop_dev, k2, enh.frame_shift)
+            _ = float(out)
+            t2 = time.perf_counter()
+            per_hop.append(((t2 - t1) - (t1 - t0)) / (k2 - k1) * 1e3)
+        arr = np.array(per_hop)
+        return (float(np.percentile(arr, 50)), float(np.percentile(arr, 99)))
+
     platform = jax.devices()[0].platform
     shift = 256
     sr = 16000.0
@@ -88,15 +138,23 @@ def main() -> int:
         lat_ms = np.array(lat) * 1e3
         frames_s = args.hops * s_count / t_all
         audio_s = frames_s * shift / sr
+        dev_p50, dev_p99 = device_only_ms(enh, s_count)
         entry = {"n_streams": s_count,
                  "hop_p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
                  "hop_p99_ms": round(float(np.percentile(lat_ms, 99)), 3),
+                 "device_only_p50_ms": round(dev_p50, 3),
+                 "device_only_p99_ms": round(dev_p99, 3),
+                 "transport_overhead_p50_ms": round(
+                     float(np.percentile(lat_ms, 50)) - dev_p50, 3),
                  "hops_per_sec": round(frames_s, 1),
                  "x_realtime_channels": round(audio_s, 1)}
         print(f"S={s_count:4d}: hop latency p50={np.percentile(lat_ms, 50):.2f} "
               f"p99={np.percentile(lat_ms, 99):.2f} ms "
               f"(budget {hop_budget_ms:.0f} ms) | {frames_s:,.0f} hops/s = "
               f"{audio_s:,.0f}x real-time channels")
+        print(f"         device-only p50={dev_p50:.3f} p99={dev_p99:.3f} ms "
+              f"per hop (host<->device transport overhead "
+              f"{np.percentile(lat_ms, 50) - dev_p50:.2f} ms at p50)")
 
         # Chunked mode: K hops per dispatch (push_many), the serving path
         # when clients deliver K*16 ms of audio at a time.
@@ -113,6 +171,9 @@ def main() -> int:
         frames_s = n_disp * k * s_count / t_chunk
         audio_s = frames_s * shift / sr
         entry["chunked_k"] = k
+        # Buffering a K-hop chunk before dispatch adds K*hop of input
+        # latency on top of the 80 ms algorithmic lookahead.
+        entry["chunked_added_latency_ms"] = round(k * hop_budget_ms, 1)
         entry["chunked_hops_per_sec"] = round(frames_s, 1)
         entry["chunked_x_realtime_channels"] = round(audio_s, 1)
         print(f"         chunked K={k}: {t_chunk / n_disp * 1e3:.2f} ms per "
@@ -145,7 +206,9 @@ def main() -> int:
                       "value": best["chunked_i16_x_realtime_channels"],
                       "unit": "channels",
                       "n_streams": best["n_streams"],
-                      "p99_hop_ms_s1": record["streams"][0]["hop_p99_ms"]}))
+                      "p99_hop_ms_s1": record["streams"][0]["hop_p99_ms"],
+                      "device_only_p50_ms_s1":
+                          record["streams"][0]["device_only_p50_ms"]}))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(record, f, indent=1)
