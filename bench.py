@@ -30,6 +30,12 @@ def main() -> int:
                     help="bfloat16 compute (the production/'natural' dtype)")
     ap.add_argument("--bunch", type=int, default=128,
                     help="bunch size (default: the parity config's 128)")
+    ap.add_argument("--frames-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="HBM dtype of the resident frame matrices; "
+                         "bfloat16 halves gather traffic and is "
+                         "value-preserving for --bf16 compute (the MXU "
+                         "rounds GEMM inputs to bf16 regardless)")
     ap.add_argument("--out", default=None,
                     help="also write the JSON record to this file")
     args = ap.parse_args()
@@ -69,8 +75,10 @@ def main() -> int:
     params = init_params(1, layersizes)
     state = make_train_state(params, layersizes[-1])
 
-    noisy_d = jnp.asarray(noisy)
-    clean_d = jnp.asarray(clean)
+    fdt = (jnp.bfloat16 if args.frames_dtype == "bfloat16"
+           else jnp.float32)
+    noisy_d = jnp.asarray(noisy, dtype=fdt)
+    clean_d = jnp.asarray(clean, dtype=fdt)
     starts_d = jnp.asarray(starts)
     lr = jnp.float32(0.1)
 

@@ -78,8 +78,15 @@ SNRS = (-5.0, 0.0, 5.0, 10.0)
 # 12 sentences x 11 noises x 7 SNRs x 8 variants = 7392 mixtures,
 # ~1.3M train frames (vs 484 / ~90k in --corpus remix).
 BIG_SNRS = (-5.0, 0.0, 5.0, 10.0, 15.0, 20.0, 25.0)
-BIG_VARIANTS = 8
+BIG_VARIANTS = 1
 BIG_SNR_JITTER = 2.5
+# Speed perturbation (resampling) of the clean sentences: shifts pitch,
+# formants and rate together, i.e. manufactures new speaker-like variants
+# from the ~40 s of unique demo speech.  Round-3 measurement: without it,
+# 50 epochs x 616 repeats per sentence memorize the 11 train speakers
+# (CV-on-train-sentences sq 13k while held-out-sentence STOI collapses to
+# 0.54); speech diversity, not noise diversity, is the binding constraint.
+BIG_SPEEDS = (0.85, 0.9, 0.95, 1.0, 1.05, 1.1, 1.15)
 EXTRA_CLEAN = ("Feature_prepare/data/TEST_DR8_MPAM0_SX289.wav",
                "Feature_prepare/data/TEST_DR8_MPAM0_SX379.wav")
 
@@ -142,6 +149,15 @@ def build_corpus(work: str, corpus: str):
                 w, sr = read_wav(os.path.join(REFERENCE, rel))
                 assert sr == 16000
                 cleans.append(w.astype(np.float32))
+
+            def resample(x, f):
+                n = int(len(x) / f)
+                return np.interp(np.arange(n) * f,
+                                 np.arange(len(x), dtype=np.float64),
+                                 x).astype(np.float32)
+
+            cleans = [resample(c, f) if f != 1.0 else c
+                      for c in cleans for f in BIG_SPEEDS]
             rng = np.random.default_rng(12345)
             mixtures = []
             for c in cleans:
@@ -149,7 +165,7 @@ def build_corpus(work: str, corpus: str):
                 for noise in noises:
                     for snr in BIG_SNRS:
                         for k in range(BIG_VARIANTS):
-                            nz = noise[::-1] if k % 2 else noise
+                            nz = noise[::-1] if rng.random() < 0.5 else noise
                             off = int(rng.integers(len(nz)))
                             nz = np.roll(nz, off)
                             nz = (np.tile(nz, len(c) // len(nz) + 1)[:len(c)]
@@ -159,6 +175,15 @@ def build_corpus(work: str, corpus: str):
                                                         BIG_SNR_JITTER))
                             g = np.sqrt(p_c / (p_n * 10.0 ** (s / 10.0)))
                             mixtures.append((c + np.float32(g) * nz, c))
+            # Shuffle the utterance ORDER: the trainer's shuffle is
+            # chunk-local (reference parity, Interface.cc:588-650), and a
+            # traincache chunk holds ~616 consecutive mixtures — written
+            # in build order that is ONE clean sentence per chunk, which
+            # destabilizes training (measured: CV oscillates 2-4x between
+            # epochs and ML-GGD held-out STOI collapses).  Interleaving
+            # sentences/noises/SNRs across chunks is what the reference's
+            # own data prep gets from its shuffled 100-hour scp.
+            rng.shuffle(mixtures)
             mixtures += [(n, c) for n, c in waves]      # CV block
         else:
             # Extract the 11 train-condition noise tracks and remix every

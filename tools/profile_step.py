@@ -160,18 +160,20 @@ def main() -> int:
     timeit("optimizer update only",
            lambda s: update_only(s, starts), state)
 
-    # (e) forward+backward GEMMs only: no optimizer, no alpha chain
+    # (e) forward+backward GEMMs only: no optimizer, no alpha chain.
+    # x must depend on the scan input or XLA hoists the whole body out of
+    # the loop (loop-invariant code motion) and reports one iteration.
     @jax.jit
     def gemms_only(state, noisy, starts):
-        x0 = jax.lax.dynamic_slice(noisy, (0, 0), (bunch, fea_dim))
-        x0 = jnp.tile(x0, (1, context))
-
-        def body(acc, _bs):
+        def body(acc, bs):
+            x0 = jax.lax.dynamic_slice(
+                noisy, (bs[0] % 1024, 0), (bunch, fea_dim))
+            x0 = jnp.tile(x0, (1, context))
             out, vjp = jax.vjp(
                 lambda p: forward(p, x0, compute_dtype=cdtype),
                 state.params)
             grads = vjp(out)[0]
-            return acc + jnp.sum(grads[0]["w"]), None
+            return acc + jnp.sum(grads[0]["w"].astype(jnp.float32)), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), starts)
         return acc
 
