@@ -13,13 +13,16 @@ Two corpus modes (written to <workdir>/<corpus>/):
 
 - ``--corpus small``: the 11 raw train pairs (9 train + 2 CV, ~2k frames)
   — fast smoke-scale A/B; heavily data-starved.
-- ``--corpus big`` (default, round 3): the remix recipe scaled ~15x — 12
+- ``--corpus big`` (default, round 3): the remix recipe scaled ~17x — 11
   clean sentences (incl. the 2 unused ``Feature_prepare/data`` TIMIT wavs)
-  x 11 extracted noise tracks x SNR {-5..25 step 5} x 8 variants (random
-  circular noise offsets, 50% time-reversed noise, +/-2.5 dB SNR jitter)
-  = 7392 mixtures / ~1.3M train frames.  The widened SNR grid (up to
-  quasi-clean 25 dB) is what teaches the model near-identity at high SNR,
-  where the round-2 remix models degraded the input.
+  x 9 speed-perturbation factors (0.8..1.25) x 11 extracted noise tracks
+  x SNR {-5..30 step 5} (random circular offsets, 50% reversal, +/-2.5 dB
+  SNR jitter, 30% two-noise cocktails, shuffled utterance order) = 8712
+  mixtures / ~1.5M train frames.  The SNR grid up to quasi-clean 30 dB
+  teaches near-identity at high SNR; speed perturbation is what makes the
+  models generalize to held-out speakers (measured: without it they
+  memorize the 11 train sentences).  Doubling variants/cocktails to 3M
+  frames was measured flat-to-worse — this recipe is the committed one.
 - ``--corpus remix``: the demo pairs are sample-aligned additive
   mixtures (residual noisy-clean is uncorrelated with clean and matches
   the labeled SNR), so the 11 train-condition noise tracks are extracted
@@ -75,18 +78,22 @@ SNRS = (-5.0, 0.0, 5.0, 10.0)
 #   circular offset into the noise track, 50% time-reversed noise, and a
 #   +/-2.5 dB noise-gain jitter around the grid SNR (continuous SNR
 #   coverage).
-# 12 sentences x 11 noises x 7 SNRs x 8 variants = 7392 mixtures,
-# ~1.3M train frames (vs 484 / ~90k in --corpus remix).
-BIG_SNRS = (-5.0, 0.0, 5.0, 10.0, 15.0, 20.0, 25.0)
+# 11 sentences x 9 speeds x 11 noises x 8 SNRs x 1 variant = 8712
+# mixtures, ~1.5M train frames (vs 484 / ~90k in --corpus remix).
+BIG_SNRS = (-5.0, 0.0, 5.0, 10.0, 15.0, 20.0, 25.0, 30.0)
 BIG_VARIANTS = 1
 BIG_SNR_JITTER = 2.5
+# Fraction of mixtures whose noise is an equal-power cocktail of two
+# tracks: the held-out noise TYPES are unseen, so composite noises widen
+# the noise manifold the model generalizes over.
+BIG_COCKTAIL = 0.3
 # Speed perturbation (resampling) of the clean sentences: shifts pitch,
 # formants and rate together, i.e. manufactures new speaker-like variants
 # from the ~40 s of unique demo speech.  Round-3 measurement: without it,
 # 50 epochs x 616 repeats per sentence memorize the 11 train speakers
 # (CV-on-train-sentences sq 13k while held-out-sentence STOI collapses to
 # 0.54); speech diversity, not noise diversity, is the binding constraint.
-BIG_SPEEDS = (0.85, 0.9, 0.95, 1.0, 1.05, 1.1, 1.15)
+BIG_SPEEDS = (0.8, 0.85, 0.9, 0.95, 1.0, 1.05, 1.1, 1.18, 1.25)
 EXTRA_CLEAN = ("Feature_prepare/data/TEST_DR8_MPAM0_SX289.wav",
                "Feature_prepare/data/TEST_DR8_MPAM0_SX379.wav")
 
@@ -159,21 +166,31 @@ def build_corpus(work: str, corpus: str):
             cleans = [resample(c, f) if f != 1.0 else c
                       for c in cleans for f in BIG_SPEEDS]
             rng = np.random.default_rng(12345)
+
+            def noise_segment(nz, length):
+                """Random circular offset + 50% reversal, tiled/cropped to
+                ``length``, normalized to unit power."""
+                if rng.random() < 0.5:
+                    nz = nz[::-1]
+                nz = np.roll(nz, int(rng.integers(len(nz))))
+                nz = (np.tile(nz, length // len(nz) + 1)[:length]
+                      if len(nz) < length else nz[:length])
+                return nz / np.sqrt(float(np.mean(nz ** 2)) + 1e-12)
+
             mixtures = []
             for c in cleans:
                 p_c = float(np.mean(c ** 2)) + 1e-12
                 for noise in noises:
                     for snr in BIG_SNRS:
                         for k in range(BIG_VARIANTS):
-                            nz = noise[::-1] if rng.random() < 0.5 else noise
-                            off = int(rng.integers(len(nz)))
-                            nz = np.roll(nz, off)
-                            nz = (np.tile(nz, len(c) // len(nz) + 1)[:len(c)]
-                                  if len(nz) < len(c) else nz[:len(c)])
-                            p_n = float(np.mean(nz ** 2)) + 1e-12
+                            nz = noise_segment(noise, len(c))
+                            if rng.random() < BIG_COCKTAIL:
+                                other = noises[int(rng.integers(len(noises)))]
+                                nz = (nz + noise_segment(other, len(c))) \
+                                    / np.sqrt(2.0)
                             s = snr + float(rng.uniform(-BIG_SNR_JITTER,
                                                         BIG_SNR_JITTER))
-                            g = np.sqrt(p_c / (p_n * 10.0 ** (s / 10.0)))
+                            g = np.sqrt(p_c / 10.0 ** (s / 10.0))
                             mixtures.append((c + np.float32(g) * nz, c))
             # Shuffle the utterance ORDER: the trainer's shuffle is
             # chunk-local (reference parity, Interface.cc:588-650), and a
@@ -277,6 +294,10 @@ def main() -> int:
             out_dir=os.path.join(arm_root, arm),
             ml_flag=ml, shapefactor=beta, epochs=args.epochs,
             train_sent_range=train_range, cv_sent_range=cv_range,
+            # the 3M-frame corpus spans ~6.2 GB normalized (noisy+clean);
+            # keep it HBM-resident (v5e has 16 GB) instead of falling back
+            # to per-chunk uploads through the relay
+            device_resident_max_bytes=10 << 30,
         )
         if args.seed:
             cfg.init_seed += args.seed
@@ -333,11 +354,12 @@ def main() -> int:
                  "11 train clean sentences x SNR {-5,0,5,10}) + the 11 real "
                  "pairs as CV (~90k frames); held-out noise types and "
                  "sentences excluded from training",
-        "big": "7392 remixed mixtures (12 clean sentences incl. the 2 "
-               "unused Feature_prepare TIMIT wavs x 11 extracted train-"
-               "noise tracks x SNR {-5..25 step 5} x 8 variants with "
-               "random circular noise offsets, 50% time-reversed noise, "
-               "+/-2.5 dB SNR jitter) + the 11 real pairs as CV (~1.3M "
+        "big": "8712 remixed mixtures (11 clean sentences incl. the 2 "
+               "unused Feature_prepare TIMIT wavs x 9 speed factors "
+               "0.8..1.25 x 11 extracted train-noise tracks x SNR "
+               "{-5..30 step 5}, random circular offsets, 50% reversal, "
+               "+/-2.5 dB SNR jitter, 30% two-noise cocktails, shuffled "
+               "utterance order) + the 11 real pairs as CV (~1.5M "
                "frames); held-out noise types and sentences excluded",
     }[args.corpus]
     lines = [
