@@ -30,6 +30,11 @@ def main() -> int:
                     help="bfloat16 compute (the production/'natural' dtype)")
     ap.add_argument("--bunch", type=int, default=128,
                     help="bunch size (default: the parity config's 128)")
+    ap.add_argument("--act-dtype", default=None,
+                    choices=[None, "bfloat16"],
+                    help="reduced-precision hidden activations (halves "
+                         "inter-layer + vjp-saved HBM traffic; off = "
+                         "f32 activations, the parity behavior)")
     ap.add_argument("--frames-dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="HBM dtype of the resident frame matrices; "
@@ -71,7 +76,9 @@ def main() -> int:
 
     hyper = TrainHyper(beta=1.0, ml=True, bunchsize=bunch, context=context,
                        targ_offset=3, grad_scale="parity",
-                       compute_dtype=compute_dtype)
+                       compute_dtype=compute_dtype,
+                       act_dtype=(jnp.bfloat16 if args.act_dtype
+                                  else None))
     params = init_params(1, layersizes)
     state = make_train_state(params, layersizes[-1])
 

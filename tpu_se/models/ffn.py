@@ -64,7 +64,8 @@ def forward(params: list[dict], x: jax.Array,
             compute_dtype=jnp.float32,
             activation: str = "sigmoid",
             dropout_rates: tuple[float, ...] | None = None,
-            dropout_rng: jax.Array | None = None) -> jax.Array:
+            dropout_rng: jax.Array | None = None,
+            act_dtype=None) -> jax.Array:
     """Batched forward: x [M, n_in] -> [M, n_out].
 
     ``compute_dtype=jnp.bfloat16`` runs the GEMMs on the MXU in bf16 with
@@ -101,6 +102,12 @@ def forward(params: list[dict], x: jax.Array,
         z = jnp.dot(h.astype(compute_dtype), w,
                     preferred_element_type=jnp.float32) + layer["b"]
         h = act(z) if i < n_layers - 1 else z
+        if act_dtype is not None and i < n_layers - 1:
+            # Opt-in reduced-precision activations (e.g. bf16): halves the
+            # HBM traffic of the inter-layer tensors the vjp must also
+            # save.  Output layer stays f32.  Bench/throughput knob — the
+            # parity path never sets it.
+            h = h.astype(act_dtype)
     return h
 
 

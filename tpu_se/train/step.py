@@ -55,6 +55,8 @@ class TrainHyper:
     compute_dtype: Any = jnp.float32
     activation: str = "sigmoid"  # "sigmoid" | "relu" (the #ifdef RELU build)
     dropout: tuple | None = None  # (visible_omit, hid_omit) or None
+    act_dtype: Any = None        # reduced-precision hidden activations
+                                 # (throughput knob; parity keeps None)
 
     def __post_init__(self):
         if self.grad_scale not in ("parity", "natural"):
@@ -115,7 +117,7 @@ def train_chunk(state: TrainState, noisy: jax.Array, clean: jax.Array,
             return forward(p, x, compute_dtype=hyper.compute_dtype,
                            activation=hyper.activation,
                            dropout_rates=hyper.dropout if use_dropout else None,
-                           dropout_rng=rng)
+                           dropout_rng=rng, act_dtype=hyper.act_dtype)
 
         out, vjp = jax.vjp(fwd, params)
         dedx, alpha = output_grad_and_alpha(out, targ, hyper.beta, hyper.ml)
