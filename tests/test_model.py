@@ -83,3 +83,21 @@ def test_dropout_forward():
     base = forward(params, x)
     assert out.shape == base.shape
     assert not np.allclose(np.asarray(out), np.asarray(base))
+
+
+def test_forward_act_dtype_bf16_close_to_f32():
+    """The reduced-precision-activations throughput knob must track the
+    f32 forward closely (it only quantizes hidden activations; the GEMMs
+    already run bf16 on the MXU) and default to off."""
+    import jax.numpy as jnp
+
+    from tpu_se.models import forward, init_params
+
+    params = init_params(3, (24, 16, 16, 8))
+    x = np.random.default_rng(0).normal(size=(8, 24)).astype(np.float32)
+    base = np.asarray(forward(params, jnp.asarray(x)))
+    red = np.asarray(forward(params, jnp.asarray(x),
+                             compute_dtype=jnp.bfloat16,
+                             act_dtype=jnp.bfloat16))
+    assert red.dtype == np.float32          # output layer stays f32
+    np.testing.assert_allclose(red, base, rtol=0.05, atol=0.05)
