@@ -112,7 +112,7 @@ def _demo_pairs():
     return train_pairs, test_pairs
 
 
-def build_corpus(work: str, corpus: str):
+def build_corpus(work: str, corpus: str, speeds=BIG_SPEEDS):
     """Write pfiles + norm under <work>/data; return cfg pieces.
 
     Returns (noisy_pfile, clean_pfile, norm_file, train_range, cv_range,
@@ -164,7 +164,7 @@ def build_corpus(work: str, corpus: str):
                                  x).astype(np.float32)
 
             cleans = [resample(c, f) if f != 1.0 else c
-                      for c in cleans for f in BIG_SPEEDS]
+                      for c in cleans for f in speeds]
             rng = np.random.default_rng(12345)
 
             def noise_segment(nz, length):
@@ -253,6 +253,10 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--corpus", choices=("small", "remix", "big"),
                     default="big")
+    ap.add_argument("--speeds", default=None,
+                    help="comma-separated speed-perturbation factors "
+                         "(default BIG_SPEEDS) - the speech-diversity "
+                         "knob for --corpus big ablations")
     ap.add_argument("--build-only", action="store_true",
                     help="build the corpus pfiles and exit (run this under "
                          "JAX_PLATFORMS=cpu so the LPS extraction doesn't "
@@ -279,8 +283,10 @@ def main() -> int:
 
     work = os.path.join(args.workdir, args.corpus)
     os.makedirs(work, exist_ok=True)
+    speeds = (tuple(float(s) for s in args.speeds.split(","))
+              if args.speeds else BIG_SPEEDS)
     noisy_pfile, clean_pfile, norm_file, train_range, cv_range, test_pairs \
-        = build_corpus(work, args.corpus)
+        = build_corpus(work, args.corpus, speeds)
     if args.build_only:
         print("corpus built; exiting (--build-only)")
         return 0
