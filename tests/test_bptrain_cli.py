@@ -117,3 +117,21 @@ def test_bptrain_format_error_and_unknown_keys(reference_dir, tmp_path):
     cfg = parse_kv(["numlayers=4", "some_future_key=zzz", "bunchsize=64"])
     assert cfg["bunchsize"] == 64
     assert "numlayers" not in cfg
+
+
+def test_bptrain_random_init_path(reference_dir, tmp_path):
+    """No initwts_file -> random init from the init_randem_* uniform
+    ranges (Interface.cc:140-143), seeded by init_randem_seed."""
+    from tpu_se.cli.main import main
+    from tpu_se.io import read_wts
+
+    args = [a for a in _finetune_pl_args(
+        tmp_path, reference_dir, layersizes="1799,32,257", seed=11)
+        if not a.startswith("initwts_file=")]
+    args += ["init_randem_weight_min=-0.05", "init_randem_weight_max=0.05",
+             "init_randem_bias_min=0", "init_randem_bias_max=0"]
+    rc = main(["bptrain"] + args)
+    assert rc == 0
+    out = read_wts(str(tmp_path / "mlp.1.wts"))
+    assert [layer["w"].shape for layer in out] == [(1799, 32), (32, 257)]
+    assert all(np.isfinite(layer["w"]).all() for layer in out)
