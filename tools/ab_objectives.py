@@ -15,10 +15,10 @@ Two corpus modes (written to <workdir>/<corpus>/):
   — fast smoke-scale A/B; heavily data-starved.
 - ``--corpus big`` (default, round 3): the remix recipe scaled ~17x — 11
   clean sentences (incl. the 2 unused ``Feature_prepare/data`` TIMIT wavs)
-  x 9 speed-perturbation factors (0.8..1.25) x 11 extracted noise tracks
+  x 12 speed-perturbation factors (0.75..1.31) x 11 extracted noise tracks
   x SNR {-5..30 step 5} (random circular offsets, 50% reversal, +/-2.5 dB
-  SNR jitter, 30% two-noise cocktails, shuffled utterance order) = 8712
-  mixtures / ~1.5M train frames.  The SNR grid up to quasi-clean 30 dB
+  SNR jitter, 30% two-noise cocktails, shuffled utterance order) = 11616
+  mixtures / ~2.0M train frames.  The SNR grid up to quasi-clean 30 dB
   teaches near-identity at high SNR; speed perturbation is what makes the
   models generalize to held-out speakers (measured: without it they
   memorize the 11 train sentences).  Doubling variants/cocktails to 3M
@@ -78,8 +78,8 @@ SNRS = (-5.0, 0.0, 5.0, 10.0)
 #   circular offset into the noise track, 50% time-reversed noise, and a
 #   +/-2.5 dB noise-gain jitter around the grid SNR (continuous SNR
 #   coverage).
-# 11 sentences x 9 speeds x 11 noises x 8 SNRs x 1 variant = 8712
-# mixtures, ~1.5M train frames (vs 484 / ~90k in --corpus remix).
+# 11 sentences x 12 speeds x 11 noises x 8 SNRs x 1 variant = 11616
+# mixtures, ~2.0M train frames (vs 484 / ~90k in --corpus remix).
 BIG_SNRS = (-5.0, 0.0, 5.0, 10.0, 15.0, 20.0, 25.0, 30.0)
 BIG_VARIANTS = 1
 BIG_SNR_JITTER = 2.5
@@ -93,7 +93,8 @@ BIG_COCKTAIL = 0.3
 # 50 epochs x 616 repeats per sentence memorize the 11 train speakers
 # (CV-on-train-sentences sq 13k while held-out-sentence STOI collapses to
 # 0.54); speech diversity, not noise diversity, is the binding constraint.
-BIG_SPEEDS = (0.8, 0.85, 0.9, 0.95, 1.0, 1.05, 1.1, 1.18, 1.25)
+BIG_SPEEDS = (0.75, 0.8, 0.85, 0.9, 0.95, 1.0, 1.04, 1.09, 1.14,
+              1.19, 1.25, 1.31)
 EXTRA_CLEAN = ("Feature_prepare/data/TEST_DR8_MPAM0_SX289.wav",
                "Feature_prepare/data/TEST_DR8_MPAM0_SX379.wav")
 
@@ -353,6 +354,8 @@ def main() -> int:
     with open(os.path.join(work, ab_name + ".json"), "w") as f:
         json.dump(record, f, indent=1)
 
+    speeds_note = ("" if speeds == BIG_SPEEDS else
+                   f" [speeds override: {','.join(str(s) for s in speeds)}]")
     corpus_desc = {
         "small": "11 raw Enh_demos train conditions (9 train + 2 CV, ~2k "
                  "frames)",
@@ -360,14 +363,14 @@ def main() -> int:
                  "11 train clean sentences x SNR {-5,0,5,10}) + the 11 real "
                  "pairs as CV (~90k frames); held-out noise types and "
                  "sentences excluded from training",
-        "big": "8712 remixed mixtures (11 clean sentences incl. the 2 "
-               "unused Feature_prepare TIMIT wavs x 9 speed factors "
-               "0.8..1.25 x 11 extracted train-noise tracks x SNR "
+        "big": "11616 remixed mixtures (11 clean sentences incl. the 2 "
+               "unused Feature_prepare TIMIT wavs x 12 speed factors "
+               "0.75..1.31 x 11 extracted train-noise tracks x SNR "
                "{-5..30 step 5}, random circular offsets, 50% reversal, "
                "+/-2.5 dB SNR jitter, 30% two-noise cocktails, shuffled "
-               "utterance order) + the 11 real pairs as CV (~1.5M "
+               "utterance order) + the 11 real pairs as CV (~2.0M "
                "frames); held-out noise types and sentences excluded",
-    }[args.corpus]
+    }[args.corpus] + speeds_note
     lines = [
         "# MMSE vs ML-GGD A/B — models trained by tpu_se",
         "",
