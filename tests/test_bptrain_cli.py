@@ -107,6 +107,59 @@ def test_bptrain_matches_train_command_epoch1(reference_dir, tmp_path):
         np.testing.assert_array_equal(la["b"], lb["b"])
 
 
+def test_bptrain_chained_two_epochs_matches_train(reference_dir, tmp_path):
+    """A finetune.pl-style CHAIN (bptrain epoch 2 initialized from epoch
+    1's outwts_file) is bit-identical to `train --epochs 2`.
+
+    Guards the per-epoch momentum reset: the reference binary's .wts
+    carries weights only (Interface.cc:429-468) and every epoch process
+    starts with zeroed delta buffers (BP_GPU.cu:60-78).  If bptrain wrote
+    a velocity sidecar beside outwts_file (or restored one), epoch 2
+    would silently carry momentum and diverge from the `train` command
+    from the first bunch of epoch 2.
+    """
+    from tpu_se.cli.main import main
+    from tpu_se.io import read_wts
+    from tpu_se.models import init_params, params_to_wts
+    from tpu_se.io.wts import write_wts
+
+    sizes = "1799,64,64,257"
+    init = str(tmp_path / "init.wts")
+    write_wts(init, params_to_wts(init_params(3, (1799, 64, 64, 257))))
+
+    # Epoch 1: seed 777.  Epoch 2: initwts = epoch 1 output, seed 777+345
+    # (finetune.pl:86,124), lr unchanged (constant through epoch 10).
+    rc = main(["bptrain"] + _finetune_pl_args(
+        tmp_path, reference_dir, layersizes=sizes, initwts=init, seed=777))
+    assert rc == 0
+    assert not os.path.exists(str(tmp_path / "mlp.1.wts.state.npz")), \
+        "bptrain must not write a velocity sidecar (reference binary parity)"
+    args2 = [a for a in _finetune_pl_args(
+        tmp_path, reference_dir, layersizes=sizes,
+        initwts=str(tmp_path / "mlp.1.wts"), seed=777 + 345)
+        if not (a.startswith("outwts_file=") or a.startswith("log_file="))]
+    args2 += [f"outwts_file={tmp_path}/mlp.2.wts",
+              f"log_file={tmp_path}/mlp.2.log"]
+    rc = main(["bptrain"] + args2)
+    assert rc == 0
+
+    out_dir = str(tmp_path / "train_cmd")
+    rc = main(["train",
+               "--fea-file", f"{reference_dir}/tools_pfile/train_noisy.pfile",
+               "--targ-file", f"{reference_dir}/tools_pfile/train_clean.pfile",
+               "--norm-file", f"{reference_dir}/tools_pfile/train_noisy.norm",
+               "--init-wts", init, "--out-dir", out_dir,
+               "--layersizes", sizes, "--epochs", "2", "--seed", "777"])
+    assert rc == 0
+
+    for epoch in (1, 2):
+        a = read_wts(str(tmp_path / f"mlp.{epoch}.wts"))
+        b = read_wts(os.path.join(out_dir, f"mlp.{epoch}.wts"))
+        for la, lb in zip(a, b):
+            np.testing.assert_array_equal(la["w"], lb["w"])
+            np.testing.assert_array_equal(la["b"], lb["b"])
+
+
 def test_bptrain_format_error_and_unknown_keys(reference_dir, tmp_path):
     """An arg without '=' is a format error (Interface.cc:153-157); an
     unknown key WITH '=' is silently ignored (how numlayers= passes)."""

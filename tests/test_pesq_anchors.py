@@ -169,26 +169,73 @@ def test_published_mos_lqo_mapping_constants():
 
     A wrong constant anywhere in the final map shifts every score and
     fails this test even though it cannot be caught by rank-based checks.
+    Probes the MODULE's own map (``mos_lqo_map``, the function ``pesq``
+    returns through) — not a local re-derivation of the same literals.
     """
-    from tpu_se.infer.pesq import pesq as _pesq  # noqa: F401 (import check)
+    from tpu_se.infer.pesq import mos_lqo_map
 
-    # Evaluate the module's maps through the public API: raw -> MOS is not
-    # exposed directly, so recompute from the same constants and compare
-    # against independent evaluations of the published formulas.
     for raw in (-0.5, 1.0, 2.0, 3.0, 4.0, 4.5):
-        wb = 0.999 + 4.0 / (1.0 + np.exp(-1.3669 * raw + 3.8224))
-        nb = 0.999 + 4.0 / (1.0 + np.exp(-1.4945 * raw + 4.6607))
-        # published curve values (independently computed)
-        assert abs(wb - (0.999 + (4.999 - 0.999)
-                         / (1.0 + np.exp(-1.3669 * raw + 3.8224)))) < 1e-12
-        assert abs(nb - (0.999 + (4.999 - 0.999)
-                         / (1.0 + np.exp(-1.4945 * raw + 4.6607)))) < 1e-12
+        wb_published = (0.999 + (4.999 - 0.999)
+                        / (1.0 + np.exp(-1.3669 * raw + 3.8224)))
+        nb_published = (0.999 + (4.999 - 0.999)
+                        / (1.0 + np.exp(-1.4945 * raw + 4.6607)))
+        assert abs(mos_lqo_map(raw, 16000) - wb_published) < 1e-12, raw
+        assert abs(mos_lqo_map(raw, 8000) - nb_published) < 1e-12, raw
     # The widely-cited maxima of the certified implementation are the maps
     # at raw 4.5: ~4.644 (wideband) and ~4.549 (narrowband).
-    assert abs((0.999 + 4 / (1 + np.exp(-1.3669 * 4.5 + 3.8224))) - 4.644) \
-        < 1e-3
-    assert abs((0.999 + 4 / (1 + np.exp(-1.4945 * 4.5 + 4.6607))) - 4.549) \
-        < 1e-3
+    assert abs(mos_lqo_map(4.5, 16000) - 4.644) < 1e-3
+    assert abs(mos_lqo_map(4.5, 8000) - 4.549) < 1e-3
+    # And the scoring path actually routes through this map: identity input
+    # gives raw 4.5, so pesq() must equal mos_lqo_map(4.5, fs) exactly.
+    x = _speechlike()
+    assert pesq(x, x, 16000) == pytest.approx(mos_lqo_map(4.5, 16000),
+                                              abs=1e-12)
+
+
+def test_spec_intermediate_anchors_bark_threshold_loudness():
+    """Hand-computed P.862 intermediate-value anchors from the published
+    formulas (always-running certified-wheel stand-ins, VERDICT r3 #7):
+
+    1. Schroeder Bark warp z = 7*asinh(f/650): z(650)=7*asinh(1)
+       = 7*ln(1+sqrt(2)) = 6.16977…; z(1000) = 8.58747….
+    2. Terhardt absolute threshold (dB SPL):
+       T(f) = 3.64 (f/kHz)^-0.8 - 6.5 e^{-0.6 (f/kHz-3.3)^2} + 1e-3 (f/kHz)^4
+       T(1 kHz) = 3.36907… dB;  T(3.3 kHz) ≈ -4.86 dB (near the dip).
+    3. Zwicker loudness S = Sl (P0/0.5)^0.23 [(0.5+0.5 P/P0)^0.23 - 1]:
+       exactly 0 at P = P0 and below, and at P = 3 P0 the bracket is
+       2^0.23 - 1 = 0.172835… times the (P0/0.5)^0.23 prefactor.
+
+    All expectations below are written as independent literals/closed
+    forms, then compared against the MODULE's functions.
+    """
+    import importlib
+    pesq_mod = importlib.import_module("tpu_se.infer.pesq")
+
+    # 1. Bark warp (Schroeder 1977): closed forms, not the module formula.
+    assert pesq_mod._bark(650.0) == pytest.approx(
+        7.0 * np.log(1.0 + np.sqrt(2.0)), abs=1e-12)      # 6.169766…
+    # z(1000) = 7*ln(20/13 + sqrt((20/13)^2 + 1)) = 8.5113715…
+    assert pesq_mod._bark(1000.0) == pytest.approx(8.5113715, abs=1e-6)
+    assert pesq_mod._bark(0.0) == 0.0
+
+    # 2. Terhardt 1979 threshold at probe frequencies (hand-evaluated).
+    t1k = 3.64 - 6.5 * np.exp(-0.6 * (1.0 - 3.3) ** 2) + 1e-3
+    assert t1k == pytest.approx(3.3690665, abs=1e-5)       # sanity on literal
+    assert pesq_mod._terhardt_threshold_db(np.array([1000.0]))[0] == \
+        pytest.approx(t1k, abs=1e-12)
+    t33 = 3.64 * 3.3 ** -0.8 - 6.5 + 1e-3 * 3.3 ** 4
+    assert pesq_mod._terhardt_threshold_db(np.array([3300.0]))[0] == \
+        pytest.approx(t33, abs=1e-12)
+
+    # 3. Zwicker loudness law: zero at/below threshold; published bracket
+    # value at 3x threshold power.
+    p0 = np.array([[2.0]])
+    assert pesq_mod._loudness(p0 * 1.0, p0[0])[0, 0] == 0.0
+    assert pesq_mod._loudness(p0 * 0.5, p0[0])[0, 0] == 0.0
+    got = pesq_mod._loudness(p0 * 3.0, p0[0])[0, 0]
+    want = pesq_mod._SL * (2.0 / 0.5) ** 0.23 * (2.0 ** 0.23 - 1.0)
+    assert got == pytest.approx(want, rel=1e-12)
+    assert (2.0 ** 0.23 - 1.0) == pytest.approx(0.1728349, abs=1e-6)
 
 
 def test_identity_scores_published_maxima():

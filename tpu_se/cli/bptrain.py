@@ -47,7 +47,7 @@ _FLOAT_KEYS = {"momentum", "shapefactor", "weightcost", "lrate",
                "init_randem_bias_max"}
 # tpu_se extensions (same key=value surface).
 _EXT_STR = {"grad_scale", "compute_dtype", "activation", "device_resident"}
-_EXT_INT = {"mesh_data", "mesh_model"}
+_EXT_INT = {"mesh_data", "mesh_model", "device_resident_max_bytes"}
 
 _DEFAULTS = {
     # Interface.cc:140-148 defaults (only the init ranges have reference
@@ -65,6 +65,7 @@ _DEFAULTS = {
     "outwts_file": "", "log_file": "", "initwts_file": "",
     "grad_scale": "parity", "compute_dtype": "float32",
     "activation": "sigmoid", "device_resident": "auto",
+    "device_resident_max_bytes": 0,  # 0 = TrainConfig default
     "mesh_data": 1, "mesh_model": 1,
 }
 
@@ -137,7 +138,13 @@ def run_bptrain(cfg: dict, log=print) -> int:
         cfg["fea_context"], cfg["targ_offset"])
 
     if cfg["initwts_file"]:
+        # Reference binary semantics: the .wts carries WEIGHTS ONLY
+        # (Interface.cc:429-468); momentum restarts at zero every epoch
+        # process.  Rebuild the state from the params so a stray
+        # .state.npz sidecar next to initwts_file cannot smuggle velocity
+        # across epochs (design invariant: per-epoch momentum reset).
         state = load_checkpoint(cfg["initwts_file"])
+        state = make_train_state(state.params, cfg["layersizes"][-1])
     else:
         params = init_params_uniform(
             cfg["init_randem_seed"], cfg["layersizes"],
@@ -149,10 +156,14 @@ def run_bptrain(cfg: dict, log=print) -> int:
     for k in sorted(cfg):
         lines.append(f"{k}: {cfg[k]}")
 
+    from tpu_se.train.loop import TrainConfig
+    resident_max = (cfg["device_resident_max_bytes"]
+                    or TrainConfig.device_resident_max_bytes)
+
     def resident(ds):
         if cfg["device_resident"] == "never":
             return None
-        if cfg["device_resident"] == "auto" and ds.span_bytes() > (4 << 30):
+        if cfg["device_resident"] == "auto" and ds.span_bytes() > resident_max:
             return None
         return load_device_frames(ds, mesh)
 
@@ -162,7 +173,10 @@ def run_bptrain(cfg: dict, log=print) -> int:
                             mesh=mesh, device_frames=resident(dataset),
                             log=lines.append)
     lines.append(f"Total cost time: {time.time() - t0:.1f} s.")
-    save_checkpoint(cfg["outwts_file"], state)
+    # Weights only (no .state.npz): the reference's per-epoch process writes
+    # a bare .wts and the next epoch restarts momentum from zero — a sidecar
+    # here would make a finetune.pl-style chain carry velocity across epochs.
+    save_checkpoint(cfg["outwts_file"], state, with_state=False)
     log(f"weights -> {cfg['outwts_file']}")
 
     lines.append("Starting CV.")

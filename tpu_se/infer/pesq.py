@@ -225,6 +225,17 @@ def pesq(ref: np.ndarray, deg: np.ndarray, fs: int = 16000,
     raw = float(np.clip(4.5 - 0.1 * sym - 0.0309 * asym, -0.5, 4.5))
     if return_raw:
         return raw
-    if fs == 16000:    # P.862.2 wideband map
+    return mos_lqo_map(raw, fs)
+
+
+def mos_lqo_map(raw: float, fs: int = 16000) -> float:
+    """Published raw-PESQ -> MOS-LQO sigmoid.
+
+    fs=16000: ITU-T P.862.2 (wideband), y = 0.999 + 4/(1+e^(-1.3669x+3.8224));
+    fs=8000:  ITU-T P.862.1 (narrowband), y = 0.999 + 4/(1+e^(-1.4945x+4.6607)).
+    Exposed so conformance tests can probe the exact constants the scoring
+    path uses (tests/test_pesq_anchors.py).
+    """
+    if fs == 16000:
         return 0.999 + 4.0 / (1.0 + np.exp(-1.3669 * raw + 3.8224))
     return 0.999 + 4.0 / (1.0 + np.exp(-1.4945 * raw + 4.6607))
