@@ -16,6 +16,7 @@ cols=n_out.  Our in-memory convention is W[n_in, n_out] so the forward pass is
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -50,8 +51,16 @@ def read_wts(path) -> list[dict]:
 
 
 def write_wts(path, layers: list[dict]) -> None:
-    """Write [{'w': [n_in, n_out], 'b': [n_out]}, ...] in reference layout."""
-    with open(path, "wb") as f:
+    """Write [{'w': [n_in, n_out], 'b': [n_out]}, ...] in reference layout.
+
+    Atomic (tmp + rename): resume-by-existence treats a present .wts as a
+    complete epoch (``finetune.pl:49``, ``train/loop.py``), so a crash or
+    kill mid-write must never leave a truncated file under the final name
+    — the reference binary has exactly that hole; we close it.
+    """
+    path = os.fspath(path)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
         for i, layer in enumerate(layers):
             w = np.asarray(layer["w"], dtype=np.float32)
             b = np.asarray(layer["b"], dtype=np.float32).reshape(-1)
@@ -60,6 +69,9 @@ def write_wts(path, layers: list[dict]) -> None:
                 raise ValueError(f"layer {i}: bias/weight shape mismatch")
             _write_record(f, f"weights{i+1}{i+2}", w.T.reshape(n_out, n_in))
             _write_record(f, f"bias{i+2}", b.reshape(1, n_out))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def _write_record(f, name: str, data: np.ndarray) -> None:

@@ -41,7 +41,12 @@ def save_checkpoint(path_wts: str, state: TrainState,
         arrays[f"vel_w_{i}"] = np.asarray(l["w"])
         arrays[f"vel_b_{i}"] = np.asarray(l["b"])
     arrays["alpha"] = np.asarray(state.alpha)
-    np.savez(_state_path(path_wts), **arrays)
+    # Atomic like write_wts: a crash mid-write must not leave a truncated
+    # sidecar that load_checkpoint would then try to restore.
+    spath = _state_path(path_wts)
+    tmp = f"{spath}.tmp.{os.getpid()}.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, spath)
 
 
 def load_checkpoint(path_wts: str) -> TrainState:
