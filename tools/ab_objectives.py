@@ -56,12 +56,30 @@ REFERENCE = "/root/reference"
 # (tonal cockpit, broadband engine, pink); the other 11 are train (9) + CV (2).
 HELD_OUT = ("F-16Cockpit_SNR10", "DestroyerEngine_SNR0", "Pink_SNR-5")
 
-ARMS = {
-    # name -> (ml_flag, shapefactor)
+# Arm catalog: name -> (ml_flag, shapefactor).  The default A/B trains
+# DEFAULT_ARMS; --arms selects others (e.g. the beta sweep for the paper's
+# PESQ-ordering question, README.md:155-158).
+ARM_CATALOG = {
     "MMSE": (False, 2.0),     # classic beta-norm beta=2 (MLflag=0)
     "MLGGD1": (True, 1.0),    # ML-GGD beta=1 (finetune.pl:25-26 defaults)
     "MLGGD09": (True, 0.9),   # ML-GGD beta=0.9 — the paper's optimum and
                               # the config behind the shipped ML demo wavs
+    "MLGGD05": (True, 0.5),   # beta sweep points (paper README.md:97-107)
+    "MLGGD15": (True, 1.5),
+    "MLGGD2": (True, 2.0),
+}
+DEFAULT_ARMS = ("MMSE", "MLGGD1", "MLGGD09")
+
+# Decode-side variants scored for every arm: the reference vocoder's own
+# residual-noise options (compile-time POSTPROCESS / SMOOTHPROCESS,
+# LogSpec2Wav.c:72-79,497-546,655-679) — the max-suppression floor is the
+# reference's lever against exactly the high-SNR over-suppression that
+# costs SegSNR on quasi-clean conditions.
+DECODE_VARIANTS = {
+    "": {},                                       # plain decode.m path
+    "+pp": {"postprocess": True},
+    "+sm": {"smooth": True},
+    "+pp+sm": {"postprocess": True, "smooth": True},
 }
 
 
@@ -113,7 +131,8 @@ def _demo_pairs():
     return train_pairs, test_pairs
 
 
-def build_corpus(work: str, corpus: str, speeds=BIG_SPEEDS):
+def build_corpus(work: str, corpus: str, speeds=BIG_SPEEDS,
+                 passthrough: int = 0):
     """Write pfiles + norm under <work>/data; return cfg pieces.
 
     Returns (noisy_pfile, clean_pfile, norm_file, train_range, cv_range,
@@ -193,6 +212,14 @@ def build_corpus(work: str, corpus: str, speeds=BIG_SPEEDS):
                                                         BIG_SNR_JITTER))
                             g = np.sqrt(p_c / 10.0 ** (s / 10.0))
                             mixtures.append((c + np.float32(g) * nz, c))
+            # Clean-passthrough pairs (SNR = inf, beyond the 30 dB grid
+            # cap): noisy IS clean, teaching exact identity on quasi-clean
+            # input — the round-3 models over-suppressed the high-SNR
+            # held-out condition (F-16 SNR10 SegSNR/STOI regressed), and
+            # a 30 dB cap still leaves a visible noise floor to "enhance".
+            for c in cleans:
+                for _ in range(passthrough):
+                    mixtures.append((c, c))
             # Shuffle the utterance ORDER: the trainer's shuffle is
             # chunk-local (reference parity, Interface.cc:588-650), and a
             # traincache chunk holds ~616 consecutive mixtures — written
@@ -268,6 +295,20 @@ def main() -> int:
                          "27870775); nonzero runs land in s<seed>/ subdirs "
                          "and AB_s<seed>.{md,json} — for multi-seed "
                          "robustness of the ML-vs-MMSE ordering")
+    ap.add_argument("--passthrough", type=int, default=0,
+                    help="clean-passthrough copies per (sentence x speed) "
+                         "added to --corpus big (SNR = inf pairs; the "
+                         "round-4 high-SNR over-suppression fix). "
+                         "Nonzero runs land in <corpus>_pt<N>/")
+    ap.add_argument("--arms", default=",".join(DEFAULT_ARMS),
+                    help="comma-separated arm names from the catalog: "
+                         + ",".join(ARM_CATALOG))
+    ap.add_argument("--variants", default="_,+pp",
+                    help="comma-separated decode variants to score "
+                         "('_' = plain; options: " +
+                         ",".join(v for v in DECODE_VARIANTS if v) + ")")
+    ap.add_argument("--tag", default="",
+                    help="suffix for the AB output name (AB<tag>[_sN])")
     args = ap.parse_args()
 
     import jax
@@ -282,20 +323,36 @@ def main() -> int:
     from tpu_se.io import read_wav
     from tpu_se.train import TrainConfig, run_training
 
-    work = os.path.join(args.workdir, args.corpus)
+    corpus_dir = (f"{args.corpus}_pt{args.passthrough}" if args.passthrough
+                  else args.corpus)
+    work = os.path.join(args.workdir, corpus_dir)
     os.makedirs(work, exist_ok=True)
     speeds = (tuple(float(s) for s in args.speeds.split(","))
               if args.speeds else BIG_SPEEDS)
     noisy_pfile, clean_pfile, norm_file, train_range, cv_range, test_pairs \
-        = build_corpus(work, args.corpus, speeds)
+        = build_corpus(work, args.corpus, speeds, args.passthrough)
     if args.build_only:
         print("corpus built; exiting (--build-only)")
         return 0
 
-    # ---- train both arms (identical seed/schedule; resume-by-existence) ----
+    arms = {}
+    for name in args.arms.split(","):
+        name = name.strip()
+        if name not in ARM_CATALOG:
+            ap.error(f"unknown arm {name!r} (catalog: {list(ARM_CATALOG)})")
+        arms[name] = ARM_CATALOG[name]
+    variants = {}
+    for v in args.variants.split(","):
+        v = "" if v.strip() in ("", "_") else v.strip()
+        if v not in DECODE_VARIANTS:
+            ap.error(f"unknown variant {v!r} "
+                     f"(options: {list(DECODE_VARIANTS)})")
+        variants[v] = DECODE_VARIANTS[v]
+
+    # ---- train all arms (identical seed/schedule; resume-by-existence) ----
     arm_root = os.path.join(work, f"s{args.seed}") if args.seed else work
     final = {}
-    for arm, (ml, beta) in ARMS.items():
+    for arm, (ml, beta) in arms.items():
         cfg = TrainConfig(
             fea_file=noisy_pfile, targ_file=clean_pfile, norm_file=norm_file,
             out_dir=os.path.join(arm_root, arm),
@@ -311,51 +368,59 @@ def main() -> int:
         final[arm] = run_training(cfg)
         print(f"{arm}: {final[arm]}")
 
-    # ---- decode held-out conditions with each arm ---------------------------
+    # ---- decode held-out conditions: each arm x each decode variant -------
     noisy_list = [n for n, _ in test_pairs]
     clean_list = [c for _, c in test_pairs]
-    decoded = {}
-    for arm in ARMS:
-        out_dir = os.path.join(arm_root, "enhanced", arm)
-        decoded[arm] = decode_files(final[arm], norm_file, noisy_list,
-                                    out_dir, clean_list)
+    decoded = {}                     # system name -> decode_files results
+    for arm in arms:
+        for vname, vkw in variants.items():
+            out_dir = os.path.join(arm_root, "enhanced",
+                                   arm + vname.replace("+", "_"))
+            decoded[arm + vname] = decode_files(
+                final[arm], norm_file, noisy_list, out_dir, clean_list,
+                **vkw)
 
     # ---- score: SegSNR/LSD (from decode) + STOI + PESQ ---------------------
     rows = []
-    arm0 = next(iter(ARMS))          # noisy baseline identical across arms
+    sys0 = next(iter(decoded))       # noisy baseline identical across systems
     for i, (nw, cw) in enumerate(test_pairs):
         clean, fs = read_wav(cw)
         noisy, _ = read_wav(nw)
         cond = os.path.basename(nw).split("_NOISY_")[0]
         row = {"condition": cond,
-               "noisy": {"segsnr": decoded[arm0][i]["segsnr_noisy"],
-                         "lsd": decoded[arm0][i]["lsd_noisy"],
+               "noisy": {"segsnr": decoded[sys0][i]["segsnr_noisy"],
+                         "lsd": decoded[sys0][i]["lsd_noisy"],
                          "stoi": round(stoi(clean, noisy, fs), 4),
                          "pesq": round(pesq_score(clean, noisy, fs), 3)}}
-        for arm in ARMS:
-            r = decoded[arm][i]
+        for name, results in decoded.items():
+            r = results[i]
             enh, _ = read_wav(r["out"])
             c = clean[:len(enh)]
-            row[arm] = {"segsnr": r["segsnr"], "lsd": r["lsd"],
-                        "stoi": round(stoi(c, enh, fs), 4),
-                        "pesq": round(pesq_score(c, enh, fs), 3)}
+            row[name] = {"segsnr": r["segsnr"], "lsd": r["lsd"],
+                         "stoi": round(stoi(c, enh, fs), 4),
+                         "pesq": round(pesq_score(c, enh, fs), 3)}
         rows.append(row)
 
-    systems = ["noisy"] + list(ARMS)
+    systems = ["noisy"] + list(decoded)
     means = {s: {m: round(float(np.mean([r[s][m] for r in rows])), 3)
                  for m in ("segsnr", "lsd", "stoi", "pesq")}
              for s in systems}
     record = {"held_out": list(HELD_OUT), "epochs": args.epochs,
-              "corpus": args.corpus, "seed_offset": args.seed,
-              "arms": {a: {"ml_flag": ARMS[a][0], "shapefactor": ARMS[a][1]}
-                       for a in ARMS},
+              "corpus": args.corpus, "passthrough": args.passthrough,
+              "seed_offset": args.seed,
+              "decode_variants": list(variants),
+              "arms": {a: {"ml_flag": arms[a][0], "shapefactor": arms[a][1]}
+                       for a in arms},
               "per_condition": rows, "mean": means}
-    ab_name = f"AB_s{args.seed}" if args.seed else "AB"
+    ab_name = "AB" + args.tag + (f"_s{args.seed}" if args.seed else "")
     with open(os.path.join(work, ab_name + ".json"), "w") as f:
         json.dump(record, f, indent=1)
 
     speeds_note = ("" if speeds == BIG_SPEEDS else
                    f" [speeds override: {','.join(str(s) for s in speeds)}]")
+    if args.passthrough:
+        speeds_note += (f" + {args.passthrough} clean-passthrough copies "
+                        "per (sentence x speed) (SNR = inf identity pairs)")
     corpus_desc = {
         "small": "11 raw Enh_demos train conditions (9 train + 2 CV, ~2k "
                  "frames)",
@@ -371,16 +436,21 @@ def main() -> int:
                "utterance order) + the 11 real pairs as CV (~2.0M "
                "frames); held-out noise types and sentences excluded",
     }[args.corpus] + speeds_note
+    variants_note = ("" if list(variants) == [""] else
+                     " Decode variants: +pp = the reference vocoder's "
+                     "POSTPROCESS max-suppression floor, +sm = its "
+                     "SMOOTHPROCESS running-min residual smoothing "
+                     "(`LogSpec2Wav.c:72-79,497-546,655-679`).")
     lines = [
         "# MMSE vs ML-GGD A/B — models trained by tpu_se",
         "",
-        f"Both arms: identical init seed, {args.epochs}-epoch finetune.pl "
+        f"All arms: identical init seed, {args.epochs}-epoch finetune.pl "
         "schedule, topology",
         "1799-2048x3-257, bunch 128, parity gradients; the ONLY difference "
         "is the objective",
         "(`MLflag`/`shapefactor`, `finetune.pl:25-26`). Train corpus: "
         f"{corpus_desc}.",
-        f"Held out: {', '.join(HELD_OUT)}.",
+        f"Held out: {', '.join(HELD_OUT)}.{variants_note}",
         "", "## Held-out means", "",
         "| System | SegSNR (dB) | LSD (dB) | STOI | PESQ |",
         "|---|---|---|---|---|",
