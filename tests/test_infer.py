@@ -257,6 +257,48 @@ def test_cli_decode_postprocess_smooth(identity_model, tmp_path, reference_dir):
         "White_SNR5_NOISY_TEST_DR2_MWEW0_SX11_enhanced.wav")
 
 
+def test_blend_interpolates_toward_noisy_lps(identity_model, reference_dir):
+    """--blend b: enhanced LPS == (1-b)*plain + b*noisy (log domain), in
+    both the staged path and the fused device path; blend=1 -> identity
+    would return the noisy LPS, blend=0 is the reference decode.m path."""
+    import jax.numpy as jnp
+
+    from tpu_se.dsp import frame_signal, lps_from_frames
+    from tpu_se.infer import Enhancer
+
+    wts, norm = identity_model
+    noisy, _ = read_wav(reference_dir / NOISY_DEMO)
+    frames = frame_signal(noisy)
+    lps = np.asarray(lps_from_frames(jnp.asarray(frames)))
+
+    plain = Enhancer(wts, norm)
+    blended = Enhancer(wts, norm, blend=0.4)
+    e0 = plain.enhance_lps(lps)
+    eb = blended.enhance_lps(lps)
+    np.testing.assert_allclose(eb, 0.6 * e0 + 0.4 * lps,
+                               rtol=1e-5, atol=1e-5)
+    # fused path agrees with the staged path under blend
+    _, _, lps_fused = blended.enhance(noisy)
+    np.testing.assert_allclose(lps_fused, eb, rtol=1e-5, atol=1e-5)
+    # bad values rejected
+    with pytest.raises(ValueError):
+        Enhancer(wts, norm, blend=1.0)
+
+
+def test_cli_decode_blend(identity_model, tmp_path, reference_dir):
+    """--blend reaches the Enhancer through the CLI decode surface."""
+    wts, norm = identity_model
+    wav = str(reference_dir
+              / "Enh_demos/White_SNR5_NOISY_TEST_DR2_MWEW0_SX11.wav")
+    r = _cli("decode", wav, "--wts", wts, "--norm", norm,
+             "--out-dir", str(tmp_path / "bl"), "--blend", "0.5")
+    assert r.returncode == 0, r.stderr
+    import os
+    assert os.path.exists(
+        tmp_path / "bl" /
+        "White_SNR5_NOISY_TEST_DR2_MWEW0_SX11_enhanced.wav")
+
+
 def test_enhancer_8khz_end_to_end(tmp_path):
     """Batch decode at 8 kHz (256/128 framing, 129 bins): identity model
     round-trips, fast path bitwise-matches, wrong-rate model rejected."""

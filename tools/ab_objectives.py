@@ -80,6 +80,11 @@ DECODE_VARIANTS = {
     "+pp": {"postprocess": True},
     "+sm": {"smooth": True},
     "+pp+sm": {"postprocess": True, "smooth": True},
+    # tpu_se's suppression-depth limiter (no reference analog): give back
+    # half of every bin's gain-in-dB.  Measured round 4: recovers the
+    # high-SNR SegSNR/STOI regressions while keeping most low-SNR gains.
+    "+bl": {"blend": 0.5},
+    "+bl+sm": {"blend": 0.5, "smooth": True},
 }
 
 

@@ -27,6 +27,97 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
+def _bench_device_only(enh, utts, batch: int,
+                       iters=(64, 320)) -> dict:
+    """Device-compute-only frames/s for the three decode paths.
+
+    Builds, per path, one jitted program `fori_loop(iters)` whose body
+    re-decodes its own previous output (recon frames / output wave) —
+    a loop-carried dependency so the body cannot be hoisted.  Runs it at
+    two iteration counts and differences the wall times: constant costs
+    (dispatch RTT through the relay, arg transfer, result fetch) cancel,
+    leaving pure device execution time per iteration.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_se.dsp.analysis import FRAME_BUCKET
+    from tpu_se.infer.decode import (
+        _decode_core, _decode_device_batch_waves,
+    )
+    from tpu_se.dsp import frame_signal
+
+    shift, length = enh.frame_shift, enh.frame_length
+    frames0 = frame_signal(utts[0], length, shift)
+    t = frames0.shape[0]
+    t_pad = -(-t // FRAME_BUCKET) * FRAME_BUCKET
+    params, mean, inv_std = enh.params, enh.mean, enh.inv_std
+    ctx = enh.context
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop_utt(params, frames, n_valid, n):
+        def body(_, f):
+            _, recon, _ = _decode_core(params, f, mean, inv_std, n_valid,
+                                       shift, ctx)
+            return recon
+        return jax.lax.fori_loop(0, n, body, frames)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop_batch(params, frames_b, n_valid, n):
+        def body(_, fb):
+            def one(f, nv):
+                _, recon, _ = _decode_core(params, f, mean, inv_std, nv,
+                                           shift, ctx)
+                return recon
+            return jax.vmap(one)(fb, n_valid)
+        return jax.lax.fori_loop(0, n, body, frames_b)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop_waves(params, waves_b, n_valid, n):
+        def body(_, wb):
+            return _decode_device_batch_waves(params, wb, mean, inv_std,
+                                              n_valid, shift, ctx)
+        return jax.lax.fori_loop(0, n, body, waves_b)
+
+    def timed(fn, *fn_args):
+        dts = []
+        for n in iters:
+            out = fn(*fn_args, n=n)          # compile (cached per n)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            out = fn(*fn_args, n=n)
+            jax.block_until_ready(out)
+            dts.append(time.perf_counter() - t0)
+        return (dts[1] - dts[0]) / (iters[1] - iters[0])
+
+    fp = np.zeros((t_pad, length), dtype=np.float32)
+    fp[:t] = frames0
+    per_utt_dt = timed(loop_utt, params, jnp.asarray(fp), jnp.int32(t))
+
+    frames_b = np.zeros((batch, t_pad, length), dtype=np.float32)
+    ts = []
+    for i in range(batch):
+        f = frame_signal(utts[i % len(utts)], length, shift)
+        frames_b[i, : f.shape[0]] = f
+        ts.append(f.shape[0])
+    n_valid_b = jnp.asarray(np.array(ts, dtype=np.int32))
+    batch_dt = timed(loop_batch, params, jnp.asarray(frames_b), n_valid_b)
+
+    waves_b = np.zeros((batch, (t_pad + 1) * shift), dtype=np.int16)
+    for i in range(batch):
+        u = np.asarray(utts[i % len(utts)], dtype=np.int16)
+        n = min(len(u), waves_b.shape[1])
+        waves_b[i, :n] = u[:n]
+    waves_dt = timed(loop_waves, params, jnp.asarray(waves_b), n_valid_b)
+
+    total_frames = float(sum(ts))
+    return {"per_utt": t / per_utt_dt,
+            "batched": total_frames / batch_dt,
+            "wave_only": total_frames / waves_dt}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--utts", type=int, default=32)
@@ -131,6 +222,21 @@ def main() -> int:
     else:
         wfps = None
 
+    # ---- device-only timing (VERDICT r3 #6): separate device compute from
+    # relay/host transfer, like benchmarks/stream.json does for streaming.
+    # Each path runs as ONE compiled program containing a fori_loop whose
+    # body feeds its own output back as the next input (the recon frames
+    # for the frame paths, the output wave for the wave path) — a real
+    # data dependency, so XLA cannot hoist the body (a loop whose body
+    # ignores the carry gets loop-invariant-code-motioned out).  Timing
+    # two iteration counts and differencing cancels the one-off dispatch
+    # RTT and any constant overhead.
+    device_only = _bench_device_only(enh, utts, args.batch) \
+        if args.batch > 1 else {}
+    for k, v in device_only.items():
+        print(f"device-only {k}: {v:,.0f} frames/s "
+              f"= {v * shift / sr:,.0f}x real-time")
+
     record = {
         "platform": platform,
         "utts": args.utts, "frames_per_utt": args.frames, "reps": args.reps,
@@ -142,6 +248,9 @@ def main() -> int:
         "wave_only_frames_per_sec": round(wfps, 1) if wfps else None,
         "wave_only_x_realtime": round(wfps * shift / sr, 1) if wfps else None,
     }
+    for k, v in device_only.items():
+        record[f"device_only_{k}_frames_per_sec"] = round(v, 1)
+        record[f"device_only_{k}_x_realtime"] = round(v * shift / sr, 1)
     print(json.dumps({"metric": "decode_frames_per_sec",
                       "value": record["wave_only_frames_per_sec"] or
                       record["batched_frames_per_sec"] or

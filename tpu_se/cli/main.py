@@ -236,6 +236,7 @@ def cmd_decode(args) -> int:
                                           ("--clean-scp", cleans is not None),
                                           ("--postprocess", args.postprocess),
                                           ("--smooth", args.smooth),
+                                          ("--blend", args.blend != 0),
                                           # streaming uses each wav's header
                                           # rate, not the requested one
                                           ("-fs", args.fs != 16))
@@ -274,7 +275,7 @@ def cmd_decode(args) -> int:
     decode_files(args.wts, args.norm, wavs, args.out_dir, cleans, mesh=mesh,
                  noisy_info=args.ni, batch_size=args.batch,
                  postprocess=args.postprocess, smooth=args.smooth,
-                 sample_rate=sample_rate)
+                 sample_rate=sample_rate, blend=args.blend)
     return 0
 
 
@@ -430,6 +431,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="residual-noise running-min smoothing "
                         "(LogSpec2Wav_be SMOOTHPROCESS build, "
                         "LogSpec2Wav.c:497-546)")
+    s.add_argument("--blend", type=float, default=0.0,
+                   help="suppression-depth limiter: interpolate the "
+                        "enhanced LPS this fraction toward the noisy LPS "
+                        "(log domain; 0 = reference decode.m path, 0.5 "
+                        "measured best on held-out conditions — tpu_se "
+                        "extension, no reference analog)")
     s.add_argument("-fs", type=int, default=16, choices=[8, 11, 16],
                    help="sampling rate in kHz — the model's bin count "
                         "must match (129/129/257)")

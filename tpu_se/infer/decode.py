@@ -34,15 +34,27 @@ from tpu_se.models import forward, params_from_wts
 DECODE_PAD_BUCKET = 64
 
 
-@functools.partial(jax.jit, static_argnames=("context", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("context", "compute_dtype",
+                                             "blend"))
 def _enhance_lps(params, lps: jax.Array, mean: jax.Array, inv_std: jax.Array,
                  n_valid: jax.Array, context: int = 7,
-                 compute_dtype=jnp.float32) -> jax.Array:
+                 compute_dtype=jnp.float32, blend: float = 0.0) -> jax.Array:
     """Normalized forward over edge-replicated spliced frames, on device.
 
     ``n_valid`` is the true (un-padded) frame count: the splice clips at
     ``n_valid - 1`` so the last frames replicate the final TRUE frame
     (``frame_expand.m:19-22``), not a bucket-pad row.
+
+    ``blend`` in [0, 1) interpolates the enhanced LPS toward the noisy
+    input LPS in the log domain (0 = the reference ``decode.m`` path; it
+    is a static arg so blend=0 emits the identical program).  This is a
+    suppression-depth limiter: a fraction ``blend`` of every bin's
+    gain-in-dB is given back, trading noise reduction for less speech
+    distortion.  No reference analog — a tpu_se serving option motivated
+    by the round-3 finding that trained models over-suppress quasi-clean
+    input (SegSNR/STOI regressions on high-SNR held-out conditions;
+    measured blend=0.5 recovers both while keeping most of the low-SNR
+    gains, artifacts/ab_objectives/big_pt8/).
     """
     t = lps.shape[0]
     normed = (lps - mean) * inv_std
@@ -51,13 +63,16 @@ def _enhance_lps(params, lps: jax.Array, mean: jax.Array, inv_std: jax.Array,
                    + jnp.arange(-half, half + 1)[None, :], 0, n_valid - 1)
     x = normed[idx].reshape(t, context * lps.shape[1])
     out = forward(params, x, compute_dtype=compute_dtype)
-    return out / inv_std + mean
+    enh = out / inv_std + mean
+    if blend:
+        enh = (1.0 - blend) * enh + blend * lps
+    return enh
 
 
 def _decode_core(params, frames: jax.Array, mean: jax.Array,
                  inv_std: jax.Array, n_valid: jax.Array,
                  frame_shift: int = FRAME_SHIFT, context: int = 7,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, blend: float = 0.0):
     """The WHOLE decode pipeline as one device program: noisy frames ->
     (OLA waveform, de-windowed recon frames, enhanced LPS).
 
@@ -67,23 +82,24 @@ def _decode_core(params, frames: jax.Array, mean: jax.Array,
     """
     lps = lps_from_frames(frames)
     enh = _enhance_lps(params, lps, mean, inv_std, n_valid, context,
-                       compute_dtype)
+                       compute_dtype, blend)
     valid = (jnp.arange(frames.shape[0]) < n_valid).astype(jnp.float32)
     wave, recon = _synth_and_ola(enh, frames, valid, frame_shift)
     return wave, recon, enh
 
 
 _decode_device = functools.partial(
-    jax.jit, static_argnames=("frame_shift", "context", "compute_dtype")
+    jax.jit, static_argnames=("frame_shift", "context", "compute_dtype",
+                              "blend")
 )(_decode_core)
 
 
 @functools.partial(jax.jit, static_argnames=("frame_shift", "context",
-                                              "compute_dtype"))
+                                              "compute_dtype", "blend"))
 def _decode_device_batch(params, frames: jax.Array, mean: jax.Array,
                          inv_std: jax.Array, n_valid: jax.Array,
                          frame_shift: int = FRAME_SHIFT, context: int = 7,
-                         compute_dtype=jnp.float32):
+                         compute_dtype=jnp.float32, blend: float = 0.0):
     """Batched decode: frames [B, T, len], n_valid [B] -> vmapped
     `_decode_core`. One transfer and one program for B utterances — the
     per-utterance dispatch/transfer overhead is amortized across the
@@ -91,17 +107,19 @@ def _decode_device_batch(params, frames: jax.Array, mean: jax.Array,
     ``decode.m:24-68``)."""
     return jax.vmap(
         lambda f, nv: _decode_core(params, f, mean, inv_std, nv,
-                                   frame_shift, context, compute_dtype)
+                                   frame_shift, context, compute_dtype,
+                                   blend)
     )(frames, n_valid)
 
 
 @functools.partial(jax.jit, static_argnames=("frame_shift", "context",
-                                              "compute_dtype"))
+                                              "compute_dtype", "blend"))
 def _decode_device_batch_waves(params, waves: jax.Array, mean: jax.Array,
                                inv_std: jax.Array, n_valid: jax.Array,
                                frame_shift: int = FRAME_SHIFT,
                                context: int = 7,
-                               compute_dtype=jnp.float32) -> jax.Array:
+                               compute_dtype=jnp.float32,
+                               blend: float = 0.0) -> jax.Array:
     """Serving fast path: int16 waves in, int16 waves out, framing on device.
 
     ``waves`` [B, S_pad] int16 with S_pad = (T_pad + 1) * frame_shift;
@@ -120,7 +138,8 @@ def _decode_device_batch_waves(params, waves: jax.Array, mean: jax.Array,
 
     def one(f, nv):
         wave, _, _ = _decode_core(params, f, mean, inv_std, nv,
-                                  frame_shift, context, compute_dtype)
+                                  frame_shift, context, compute_dtype,
+                                  blend)
         return wave
 
     wave_b = jax.vmap(one)(frames, n_valid)
@@ -175,7 +194,8 @@ class Enhancer:
 
     def __init__(self, wts_path, norm_path, context: int = 7,
                  compute_dtype=jnp.float32, postprocess: bool = False,
-                 smooth: bool = False, mesh=None, sample_rate: int = 16000):
+                 smooth: bool = False, mesh=None, sample_rate: int = 16000,
+                 blend: float = 0.0):
         from tpu_se.dsp.analysis import rate_config
 
         self.params = params_from_wts(read_wts(wts_path))
@@ -193,6 +213,9 @@ class Enhancer:
         self.compute_dtype = compute_dtype
         self.postprocess = postprocess
         self.smooth = smooth
+        if not 0.0 <= blend < 1.0:
+            raise ValueError(f"blend must be in [0, 1), got {blend}")
+        self.blend = float(blend)
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -225,7 +248,7 @@ class Enhancer:
             n_valid = self._shard_scalar(n_valid)
         out = _enhance_lps(self.params, lps_p, self.mean,
                            self.inv_std, n_valid, self.context,
-                           self.compute_dtype)
+                           self.compute_dtype, self.blend)
         return np.asarray(out)[:t]
 
     def enhance(self, noisy_wave: np.ndarray
@@ -266,7 +289,8 @@ class Enhancer:
             n_valid = self._shard_scalar(n_valid)
         wave, recon, enh = _decode_device(
             self.params, frames_j, self.mean, self.inv_std,
-            n_valid, self.frame_shift, self.context, self.compute_dtype)
+            n_valid, self.frame_shift, self.context, self.compute_dtype,
+            self.blend)
         wave = np.asarray(wave)[: t * self.frame_shift
                                 + (self.frame_length - self.frame_shift)]
         return (np.trunc(wave).astype(np.int16), np.asarray(recon)[:t],
@@ -315,7 +339,7 @@ class Enhancer:
                 n_valid_j, NamedSharding(self.mesh, P("data")))
         wave_b, recon_b, enh_b = _decode_device_batch(
             self.params, frames_j, self.mean, self.inv_std, n_valid_j,
-            self.frame_shift, self.context, self.compute_dtype)
+            self.frame_shift, self.context, self.compute_dtype, self.blend)
         wave_b = np.asarray(wave_b)
         recon_b, enh_b = np.asarray(recon_b), np.asarray(enh_b)
         out = []
@@ -371,7 +395,7 @@ class Enhancer:
                 n_valid_j, NamedSharding(self.mesh, P("data")))
         wave_b = np.asarray(_decode_device_batch_waves(
             self.params, waves_j, self.mean, self.inv_std, n_valid_j,
-            shift, self.context, self.compute_dtype))
+            shift, self.context, self.compute_dtype, self.blend))
         tail = self.frame_length - shift
         return [wave_b[i, : t * shift + tail] if t
                 else np.zeros(0, np.int16) for i, t in enumerate(ts)]
@@ -386,8 +410,8 @@ def decode_files(wts_path, norm_path, wav_paths: list, out_dir,
                  clean_paths: list | None = None, log=print,
                  mesh=None, noisy_info: bool = False,
                  batch_size: int = 0, postprocess: bool = False,
-                 smooth: bool = False, sample_rate: int = 16000
-                 ) -> list[dict]:
+                 smooth: bool = False, sample_rate: int = 16000,
+                 blend: float = 0.0) -> list[dict]:
     """decode.m batch loop: enhance each wav, write *_enhanced.wav + info.
 
     With ``clean_paths`` given, per-utterance SegSNR/LSD (enhanced and noisy
@@ -405,7 +429,7 @@ def decode_files(wts_path, norm_path, wav_paths: list, out_dir,
     os.makedirs(out_dir, exist_ok=True)
     enh = Enhancer(wts_path, norm_path, mesh=mesh,
                    postprocess=postprocess, smooth=smooth,
-                   sample_rate=sample_rate)
+                   sample_rate=sample_rate, blend=blend)
     if batch_size > 1:
         waves_srs = [read_wav(p) for p in wav_paths]
         norm_sr = 11000 if sample_rate == 11025 else sample_rate
