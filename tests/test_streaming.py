@@ -48,6 +48,28 @@ def test_stream_matches_batch(reference_dir, small_model):
     assert (diff > 0).mean() < 0.02
 
 
+def test_stream_blend_matches_batch_blend(reference_dir, small_model):
+    """Streaming with the suppression-depth limiter == batch decode with
+    the same blend, to 1 int16 LSB (streaming recovers the center frame's
+    noisy LPS from the normalized ring, an extra fp round trip)."""
+    from tpu_se.infer import Enhancer, StreamingEnhancer
+
+    wts, norm = small_model
+    noisy, _ = read_wav(reference_dir / NOISY_DEMO)
+    batch = Enhancer(wts, norm, blend=0.5).enhance(noisy)[0].astype(np.int32)
+
+    s = StreamingEnhancer(wts, norm, blend=0.5)
+    stream = np.concatenate([s.feed(noisy), s.flush()]).astype(np.int32)
+    assert stream.shape == batch.shape
+    diff = np.abs(stream - batch)
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.02
+    # and blend actually changes the output vs plain streaming
+    s0 = StreamingEnhancer(wts, norm)
+    plain = np.concatenate([s0.feed(noisy), s0.flush()]).astype(np.int32)
+    assert np.abs(plain - stream).max() > 1
+
+
 def test_enhance_lps_replicates_true_edges(reference_dir, small_model):
     """Regression: the device splice must clip at the TRUE frame count
     (frame_expand.m edge replication), not at the pad-bucket boundary."""

@@ -236,7 +236,6 @@ def cmd_decode(args) -> int:
                                           ("--clean-scp", cleans is not None),
                                           ("--postprocess", args.postprocess),
                                           ("--smooth", args.smooth),
-                                          ("--blend", args.blend != 0),
                                           # streaming uses each wav's header
                                           # rate, not the requested one
                                           ("-fs", args.fs != 16))
@@ -252,7 +251,8 @@ def cmd_decode(args) -> int:
         os.makedirs(args.out_dir, exist_ok=True)
         for path in wavs:
             noisy, sr = read_wav(path)
-            s = StreamingEnhancer(args.wts, args.norm, sample_rate=sr)
+            s = StreamingEnhancer(args.wts, args.norm, sample_rate=sr,
+                                  blend=args.blend)
             pieces = []
             for i in range(0, len(noisy), args.stream):
                 pieces.append(s.feed(noisy[i:i + args.stream]))

@@ -99,7 +99,7 @@ def _init_state(n_streams: int, frame_length: int, frame_shift: int,
 
 
 def _enhance_and_emit(params, mean, inv_std, state: StreamState,
-                      frame_shift: int, compute_dtype
+                      frame_shift: int, compute_dtype, blend: float = 0.0
                       ) -> tuple[StreamState, jax.Array]:
     """Shared back half of a step: splice -> forward -> synth -> OLA.
 
@@ -107,6 +107,11 @@ def _enhance_and_emit(params, mean, inv_std, state: StreamState,
     center frame c = count-1-half is enhanced and overlap-added; the
     completed hop [c*shift, (c+1)*shift) is emitted (garbage while c < 0 —
     the wrapper discards those).
+
+    ``blend`` is the suppression-depth limiter (see ``infer/decode.py``):
+    the center frame's noisy LPS is recovered from the normalized ring
+    (``normed / inv_std + mean``), so streaming blend matches batch-decode
+    blend to fp rounding (1 int16 LSB on the wire).
     """
     s, context, n_bins = state.lps_ring.shape
     frame_length = state.acc.shape[1]
@@ -115,6 +120,9 @@ def _enhance_and_emit(params, mean, inv_std, state: StreamState,
     x = state.lps_ring.reshape(s, context * n_bins)
     out = forward(params, x, compute_dtype=compute_dtype)
     enh = out / inv_std + mean
+    if blend:
+        noisy_lps = state.lps_ring[:, half] / inv_std + mean
+        enh = (1.0 - blend) * enh + blend * noisy_lps
 
     cspec = state.spec_ring[:, 0]
     cre, cim = cspec[:, :n_bins], cspec[:, n_bins:]
@@ -142,9 +150,11 @@ def _enhance_and_emit(params, mean, inv_std, state: StreamState,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("frame_shift", "compute_dtype"))
+                   static_argnames=("frame_shift", "compute_dtype",
+                                    "blend"))
 def _stream_step(params, mean, inv_std, state: StreamState, hop: jax.Array,
-                 frame_shift: int, compute_dtype=jnp.float32
+                 frame_shift: int, compute_dtype=jnp.float32,
+                 blend: float = 0.0
                  ) -> tuple[StreamState, jax.Array]:
     """One hop in, one hop out, for all S streams."""
     ring = jnp.concatenate([state.ring[:, frame_shift:], hop], axis=1)
@@ -185,13 +195,15 @@ def _stream_step(params, mean, inv_std, state: StreamState, hop: jax.Array,
         hops=state.hops + 1,
         count=state.count + frame_ready.astype(jnp.int32))
     return _enhance_and_emit(params, mean, inv_std, state, frame_shift,
-                             compute_dtype)
+                             compute_dtype, blend)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("frame_shift", "compute_dtype"))
+                   static_argnames=("frame_shift", "compute_dtype",
+                                    "blend"))
 def _stream_scan(params, mean, inv_std, state: StreamState, hops: jax.Array,
-                 frame_shift: int, compute_dtype=jnp.float32
+                 frame_shift: int, compute_dtype=jnp.float32,
+                 blend: float = 0.0
                  ) -> tuple[StreamState, jax.Array]:
     """K hops in one dispatch: ``lax.scan`` over the hop axis of
     [S, K, shift] — the chunked-streaming path that amortizes host/device
@@ -200,17 +212,18 @@ def _stream_scan(params, mean, inv_std, state: StreamState, hops: jax.Array,
 
     def body(st, hop):
         return _stream_step(params, mean, inv_std, st, hop, frame_shift,
-                            compute_dtype)
+                            compute_dtype, blend)
 
     state, outs = jax.lax.scan(body, state, jnp.swapaxes(hops, 0, 1))
     return state, jnp.swapaxes(outs, 0, 1)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("frame_shift", "compute_dtype"))
+                   static_argnames=("frame_shift", "compute_dtype",
+                                    "blend"))
 def _stream_scan_i16(params, mean, inv_std, state: StreamState,
                      hops: jax.Array, frame_shift: int,
-                     compute_dtype=jnp.float32
+                     compute_dtype=jnp.float32, blend: float = 0.0
                      ) -> tuple[StreamState, jax.Array]:
     """`_stream_scan` with an int16 wire: int16 hops in, int16 hops out.
 
@@ -220,14 +233,16 @@ def _stream_scan_i16(params, mean, inv_std, state: StreamState,
     input, i.e. real PCM audio)."""
     state, outs = _stream_scan(params, mean, inv_std, state,
                                hops.astype(jnp.float32), frame_shift,
-                               compute_dtype)
+                               compute_dtype, blend)
     return state, jnp.trunc(outs).astype(jnp.int16)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("frame_shift", "compute_dtype"))
+                   static_argnames=("frame_shift", "compute_dtype",
+                                    "blend"))
 def _flush_step(params, mean, inv_std, state: StreamState,
-                frame_shift: int, compute_dtype=jnp.float32
+                frame_shift: int, compute_dtype=jnp.float32,
+                blend: float = 0.0
                 ) -> tuple[StreamState, jax.Array]:
     """Drain one latency hop: re-push the newest LPS frame (right-edge
     replication, ``frame_expand.m:19-22``) without consuming input."""
@@ -238,7 +253,7 @@ def _flush_step(params, mean, inv_std, state: StreamState,
             [state.spec_ring[:, 1:], state.spec_ring[:, -1:]], axis=1),
         count=state.count + 1)
     return _enhance_and_emit(params, mean, inv_std, state, frame_shift,
-                             compute_dtype)
+                             compute_dtype, blend)
 
 
 class StreamingEnhancer:
@@ -260,7 +275,10 @@ class StreamingEnhancer:
 
     def __init__(self, wts_path, norm_path, n_streams: int = 1,
                  context: int = 7, compute_dtype=jnp.float32,
-                 sample_rate: int = 16000, mesh=None):
+                 sample_rate: int = 16000, mesh=None, blend: float = 0.0):
+        if not 0.0 <= blend < 1.0:
+            raise ValueError(f"blend must be in [0, 1), got {blend}")
+        self.blend = float(blend)
         self.params = params_from_wts(read_wts(wts_path))
         dim = self.params[-1]["b"].shape[0]
         mean, inv_std = read_norm(norm_path, dim)
@@ -325,7 +343,7 @@ class StreamingEnhancer:
         self.state, out = _stream_step(
             self.params, self.mean, self.inv_std, self.state,
             self._hop_put(np.asarray(hops, dtype=np.float32)),
-            self.frame_shift, self.compute_dtype)
+            self.frame_shift, self.compute_dtype, self.blend)
         self._hops += 1
         if self._hops >= self.ring_hops:
             self._pushed += 1
@@ -353,12 +371,12 @@ class StreamingEnhancer:
             self.state, outs = _stream_scan_i16(
                 self.params, self.mean, self.inv_std, self.state,
                 self._hop_put(np.asarray(hops, dtype=np.int16)),
-                self.frame_shift, self.compute_dtype)
+                self.frame_shift, self.compute_dtype, self.blend)
         else:
             self.state, outs = _stream_scan(
                 self.params, self.mean, self.inv_std, self.state,
                 self._hop_put(np.asarray(hops, dtype=np.float32)),
-                self.frame_shift, self.compute_dtype)
+                self.frame_shift, self.compute_dtype, self.blend)
         self._hops += k
         self._pushed += (max(0, self._hops - (self.ring_hops - 1))
                          - max(0, h0 - (self.ring_hops - 1)))
@@ -436,7 +454,7 @@ class StreamingEnhancer:
         for _ in range(self.half):
             self.state, out = _flush_step(
                 self.params, self.mean, self.inv_std, self.state,
-                self.frame_shift, self.compute_dtype)
+                self.frame_shift, self.compute_dtype, self.blend)
             self._pushed += 1
             if self._pushed - 1 - self.half >= 0:
                 yield np.asarray(out)
