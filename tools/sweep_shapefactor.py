@@ -1,6 +1,13 @@
 #!/usr/bin/env python
 """Shapefactor (β) sweep — BASELINE.json config 4.
 
+NOTE (round 4): for the full held-out-quality β sweep (SegSNR/LSD/STOI/
+PESQ per condition, multi-seed), use `tools/ab_objectives.py --arms
+MLGGD05,MLGGD09,MLGGD1,MLGGD15,MLGGD2,MMSE` instead — it shares the
+corpus/training/scoring/resume infrastructure and produced
+`artifacts/ab_objectives/big_pt8/BETA_SWEEP.md`.  This tool remains the
+quick CV-metric-only sweep on a pfile shard.
+
 Trains the reference topology on a pfile shard once per β in
 {0.5, 1.0, 1.5, 2.0} (the GGD shape factors studied in the paper,
 ``README.md:97-107``; β=2 ≡ MMSE, β=1 ≡ LAD) in both ML-GGD and plain
