@@ -172,6 +172,37 @@ def test_bptrain_format_error_and_unknown_keys(reference_dir, tmp_path):
     assert "numlayers" not in cfg
 
 
+def test_bptrain_extension_keys_parse(reference_dir, tmp_path):
+    """tpu_se extension keys ride the same key=value surface: the
+    device-resident threshold override (ADVICE r3) and mesh knobs parse
+    as ints; 0 means 'use the TrainConfig default constant'."""
+    from tpu_se.cli.bptrain import parse_kv
+    from tpu_se.train.loop import TrainConfig
+
+    cfg = parse_kv(["device_resident_max_bytes=1073741824", "mesh_data=2"])
+    assert cfg["device_resident_max_bytes"] == 1 << 30
+    assert cfg["mesh_data"] == 2
+    assert parse_kv([])["device_resident_max_bytes"] == 0
+    assert TrainConfig.device_resident_max_bytes == 4 << 30
+
+
+def test_wts_write_is_atomic_no_tmp_left(tmp_path):
+    """write_wts goes through tmp+rename (crash safety for
+    resume-by-existence); on success no .tmp sibling remains and the
+    file round-trips."""
+    import os
+
+    from tpu_se.io import read_wts
+    from tpu_se.io.wts import write_wts
+    from tpu_se.models import init_params, params_to_wts
+
+    path = str(tmp_path / "w.wts")
+    write_wts(path, params_to_wts(init_params(1, (8, 4, 8))))
+    assert os.path.exists(path)
+    assert [f for f in os.listdir(tmp_path) if ".tmp" in f] == []
+    assert len(read_wts(path)) == 2
+
+
 def test_bptrain_random_init_path(reference_dir, tmp_path):
     """No initwts_file -> random init from the init_randem_* uniform
     ranges (Interface.cc:140-143), seeded by init_randem_seed."""

@@ -137,7 +137,7 @@ def _demo_pairs():
 
 
 def build_corpus(work: str, corpus: str, speeds=BIG_SPEEDS,
-                 passthrough: int = 0):
+                 passthrough: int = 0, extra_snrs: tuple = ()):
     """Write pfiles + norm under <work>/data; return cfg pieces.
 
     Returns (noisy_pfile, clean_pfile, norm_file, train_range, cv_range,
@@ -206,7 +206,7 @@ def build_corpus(work: str, corpus: str, speeds=BIG_SPEEDS,
             for c in cleans:
                 p_c = float(np.mean(c ** 2)) + 1e-12
                 for noise in noises:
-                    for snr in BIG_SNRS:
+                    for snr in BIG_SNRS + tuple(extra_snrs):
                         for k in range(BIG_VARIANTS):
                             nz = noise_segment(noise, len(c))
                             if rng.random() < BIG_COCKTAIL:
@@ -300,6 +300,10 @@ def main() -> int:
                          "27870775); nonzero runs land in s<seed>/ subdirs "
                          "and AB_s<seed>.{md,json} — for multi-seed "
                          "robustness of the ML-vs-MMSE ordering")
+    ap.add_argument("--extra-snrs", default="",
+                    help="comma-separated extra SNR grid points appended "
+                         "to BIG_SNRS (e.g. 35,40 — a denser quasi-clean "
+                         "ladder); nonempty runs land in <dir>_x<list>/")
     ap.add_argument("--passthrough", type=int, default=0,
                     help="clean-passthrough copies per (sentence x speed) "
                          "added to --corpus big (SNR = inf pairs; the "
@@ -330,12 +334,17 @@ def main() -> int:
 
     corpus_dir = (f"{args.corpus}_pt{args.passthrough}" if args.passthrough
                   else args.corpus)
+    extra_snrs = (tuple(float(s) for s in args.extra_snrs.split(","))
+                  if args.extra_snrs else ())
+    if extra_snrs:
+        corpus_dir += "_x" + args.extra_snrs.replace(",", "_")
     work = os.path.join(args.workdir, corpus_dir)
     os.makedirs(work, exist_ok=True)
     speeds = (tuple(float(s) for s in args.speeds.split(","))
               if args.speeds else BIG_SPEEDS)
     noisy_pfile, clean_pfile, norm_file, train_range, cv_range, test_pairs \
-        = build_corpus(work, args.corpus, speeds, args.passthrough)
+        = build_corpus(work, args.corpus, speeds, args.passthrough,
+                       extra_snrs)
     if args.build_only:
         print("corpus built; exiting (--build-only)")
         return 0
