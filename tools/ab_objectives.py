@@ -300,6 +300,11 @@ def main() -> int:
                          "27870775); nonzero runs land in s<seed>/ subdirs "
                          "and AB_s<seed>.{md,json} — for multi-seed "
                          "robustness of the ML-vs-MMSE ordering")
+    ap.add_argument("--dropout", action="store_true",
+                    help="train the selected arms with the reference's "
+                         "dropout (dropoutflag=1, visible_omit=hid_omit="
+                         "0.1, finetune.pl:74-76); arm labels get a _do "
+                         "suffix so runs don't collide")
     ap.add_argument("--extra-snrs", default="",
                     help="comma-separated extra SNR grid points appended "
                          "to BIG_SNRS (e.g. 35,40 — a denser quasi-clean "
@@ -354,7 +359,7 @@ def main() -> int:
         name = name.strip()
         if name not in ARM_CATALOG:
             ap.error(f"unknown arm {name!r} (catalog: {list(ARM_CATALOG)})")
-        arms[name] = ARM_CATALOG[name]
+        arms[name + ("_do" if args.dropout else "")] = ARM_CATALOG[name]
     variants = {}
     for v in args.variants.split(","):
         v = "" if v.strip() in ("", "_") else v.strip()
@@ -371,6 +376,7 @@ def main() -> int:
             fea_file=noisy_pfile, targ_file=clean_pfile, norm_file=norm_file,
             out_dir=os.path.join(arm_root, arm),
             ml_flag=ml, shapefactor=beta, epochs=args.epochs,
+            dropout_flag=args.dropout,
             train_sent_range=train_range, cv_sent_range=cv_range,
             # the 3M-frame corpus spans ~6.2 GB normalized (noisy+clean);
             # keep it HBM-resident (v5e has 16 GB) instead of falling back
