@@ -285,6 +285,55 @@ def test_blend_interpolates_toward_noisy_lps(identity_model, reference_dir):
         Enhancer(wts, norm, blend=1.0)
 
 
+def test_blend_auto_matches_manual_map(identity_model, reference_dir):
+    """blend='auto' applies lam = LMAX*exp(-mean_suppression_dB/TAU) with
+    the suppression computed from the PLAIN enhanced LPS — verified
+    against a hand-computed blend of the plain output."""
+    import jax.numpy as jnp
+
+    from tpu_se.dsp import frame_signal, lps_from_frames
+    from tpu_se.infer import Enhancer
+    from tpu_se.infer.decode import (
+        BLEND_AUTO_LMAX, BLEND_AUTO_MAX, BLEND_AUTO_TAU_DB,
+    )
+
+    wts, norm = identity_model
+    noisy, _ = read_wav(reference_dir / NOISY_DEMO)
+    frames = frame_signal(noisy)
+    lps = np.asarray(lps_from_frames(jnp.asarray(frames)))
+
+    plain = Enhancer(wts, norm).enhance_lps(lps)
+    supp_db = float(np.mean(lps - plain)) * 10.0 / np.log(10.0)
+    lam = float(np.clip(
+        BLEND_AUTO_LMAX * np.exp(-max(supp_db, 0.0) / BLEND_AUTO_TAU_DB),
+        0.0, BLEND_AUTO_MAX))
+    want = (1.0 - lam) * plain + lam * lps
+
+    got = Enhancer(wts, norm, blend="auto").enhance_lps(lps)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # the fused path agrees too
+    _, _, fused = Enhancer(wts, norm, blend="auto").enhance(noisy)
+    np.testing.assert_allclose(fused, got, rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_blend_auto_runs_and_converges(reference_dir,
+                                                 identity_model):
+    """Streaming blend='auto' (causal EMA of the suppression) produces
+    finite output that differs from both plain and the max fixed blend,
+    and the EMA state moves from its 0 dB start."""
+    from tpu_se.infer import StreamingEnhancer
+
+    wts, norm = identity_model
+    noisy, _ = read_wav(reference_dir / NOISY_DEMO)
+    s = StreamingEnhancer(wts, norm, blend="auto")
+    out = np.concatenate([s.feed(noisy), s.flush()])
+    assert np.isfinite(out.astype(np.float64)).all()
+    assert float(np.asarray(s.state.supp_ema)[0]) != 0.0
+    s0 = StreamingEnhancer(wts, norm)
+    plain = np.concatenate([s0.feed(noisy), s0.flush()])
+    assert np.abs(out.astype(np.int32) - plain.astype(np.int32)).max() > 1
+
+
 def test_cli_decode_blend(identity_model, tmp_path, reference_dir):
     """--blend reaches the Enhancer through the CLI decode surface."""
     wts, norm = identity_model

@@ -85,6 +85,10 @@ DECODE_VARIANTS = {
     # high-SNR SegSNR/STOI regressions while keeping most low-SNR gains.
     "+bl": {"blend": 0.5},
     "+bl+sm": {"blend": 0.5, "smooth": True},
+    # adaptive limiter: lam from the model's own per-utterance suppression
+    # (BLEND_AUTO_* map in infer/decode.py, calibrated on the non-held-out
+    # conditions only) — the strongest measured decode config.
+    "+abl": {"blend": "auto"},
 }
 
 

@@ -39,7 +39,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="artifacts/ab_objectives/big_pt8")
     ap.add_argument("--arms", default="MLGGD1,MLGGD09,MMSE")
-    ap.add_argument("--blend", type=float, default=0.5)
+    ap.add_argument("--blend", default="0.5",
+                    help="fixed fraction or 'auto' (adaptive map)")
     ap.add_argument("--seed-dir", default="",
                     help="e.g. s1000 to score that seed's models")
     ap.add_argument("--out", default="")
@@ -59,7 +60,8 @@ def main() -> int:
     arms = {}
     for a in args.arms.split(","):
         wts = os.path.join(args.root, args.seed_dir, a, "mlp.50.wts")
-        arms[a] = Enhancer(wts, norm, blend=args.blend)
+        blend = args.blend if args.blend == "auto" else float(args.blend)
+        arms[a] = Enhancer(wts, norm, blend=blend)
 
     rows = []
     n_improved = {a: {"segsnr": 0, "stoi": 0, "lsd": 0, "pesq": 0}
@@ -96,7 +98,7 @@ def main() -> int:
 
     lines = [
         "# All 14 Enh_demos conditions — tpu_se-trained models "
-        f"(blend {args.blend:g}{', seed ' + args.seed_dir if args.seed_dir else ''})",
+        f"(blend {args.blend}{', seed ' + args.seed_dir if args.seed_dir else ''})",
         "",
         "The reference's own demo set improves every one of its 14 "
         "conditions (`README.md:116-237`). This is the analogous table for "
@@ -123,7 +125,9 @@ def main() -> int:
         lines.append("")
 
     out = args.out or os.path.join(
-        args.root, ("ENH_TABLE" + (f"_{args.seed_dir}" if args.seed_dir
+        args.root, ("ENH_TABLE"
+                    + ("_auto" if args.blend == "auto" else "")
+                    + (f"_{args.seed_dir}" if args.seed_dir
                                    else "") + ".md"))
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")

