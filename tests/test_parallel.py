@@ -137,6 +137,30 @@ def test_sharded_decode_matches_single(devices8, tmp_path):
     assert np.abs(w8.astype(np.int32) - w1.astype(np.int32)).max() <= 1
 
 
+def test_sharded_auto_blend_decode_matches_single(devices8, tmp_path):
+    """blend='auto' under a data mesh: the per-utterance suppression mean
+    spans the sharded frame axis (a GSPMD reduction), so the adaptive
+    lambda — and the waveform — must match single-device decode."""
+    from tpu_se.infer import Enhancer
+    from tpu_se.io import write_norm, write_wts
+    from tpu_se.models import params_to_wts
+
+    params = init_params(23, (1799, 32, 32, 257))
+    wts, norm = str(tmp_path / "m.wts"), str(tmp_path / "m.norm")
+    write_wts(wts, params_to_wts(params))
+    rng = np.random.default_rng(9)
+    write_norm(norm, rng.normal(size=257).astype(np.float32),
+               (0.5 + rng.random(257)).astype(np.float32))
+    noisy = (rng.normal(size=16000) * 3000).astype(np.int16)
+
+    single = Enhancer(wts, norm, blend="auto")
+    sharded = Enhancer(wts, norm, blend="auto", mesh=make_mesh(8, 1))
+    w1, _, l1 = single.enhance(noisy)
+    w8, _, l8 = sharded.enhance(noisy)
+    np.testing.assert_allclose(l8, l1, rtol=1e-5, atol=1e-5)
+    assert np.abs(w8.astype(np.int32) - w1.astype(np.int32)).max() <= 1
+
+
 def test_sharded_batch_decode_matches_single(devices8, tmp_path):
     """enhance_batch with the batch axis sharded over the data mesh ==
     unsharded per-utterance decode."""
