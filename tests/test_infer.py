@@ -316,6 +316,25 @@ def test_blend_auto_matches_manual_map(identity_model, reference_dir):
     np.testing.assert_allclose(fused, got, rtol=1e-4, atol=1e-4)
 
 
+def test_blend_auto_batch_matches_per_utterance(identity_model):
+    """enhance_batch with blend='auto': each vmapped utterance computes
+    its OWN adaptive lambda (valid-masked suppression mean over its true
+    frames, not the shared pad length) == per-utterance enhance."""
+    from tpu_se.infer import Enhancer
+
+    wts, norm = identity_model
+    rng = np.random.default_rng(8)
+    waves = [(rng.normal(size=n) * 2000).astype(np.int16)
+             for n in (9000, 16000, 5000)]
+    enh = Enhancer(wts, norm, blend="auto")
+    batch = enh.enhance_batch(waves)
+    for wave, got in zip(waves, batch):
+        want = enh.enhance(wave)
+        assert np.abs(got[0].astype(np.int32)
+                      - want[0].astype(np.int32)).max() <= 1
+        np.testing.assert_allclose(got[2], want[2], rtol=1e-5, atol=1e-5)
+
+
 def test_streaming_blend_auto_runs_and_converges(reference_dir,
                                                  identity_model):
     """Streaming blend='auto' (causal EMA of the suppression) produces
