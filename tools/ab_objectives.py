@@ -304,6 +304,11 @@ def main() -> int:
                          "27870775); nonzero runs land in s<seed>/ subdirs "
                          "and AB_s<seed>.{md,json} — for multi-seed "
                          "robustness of the ML-vs-MMSE ordering")
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="training compute dtype (bfloat16 = the natural/"
+                         "production perf config; arm labels get a _bf16 "
+                         "suffix)")
     ap.add_argument("--dropout", action="store_true",
                     help="train the selected arms with the reference's "
                          "dropout (dropoutflag=1, visible_omit=hid_omit="
@@ -363,7 +368,9 @@ def main() -> int:
         name = name.strip()
         if name not in ARM_CATALOG:
             ap.error(f"unknown arm {name!r} (catalog: {list(ARM_CATALOG)})")
-        arms[name + ("_do" if args.dropout else "")] = ARM_CATALOG[name]
+        suffix = ("_do" if args.dropout else "") + (
+            "_bf16" if args.compute_dtype == "bfloat16" else "")
+        arms[name + suffix] = ARM_CATALOG[name]
     variants = {}
     for v in args.variants.split(","):
         v = "" if v.strip() in ("", "_") else v.strip()
@@ -380,7 +387,7 @@ def main() -> int:
             fea_file=noisy_pfile, targ_file=clean_pfile, norm_file=norm_file,
             out_dir=os.path.join(arm_root, arm),
             ml_flag=ml, shapefactor=beta, epochs=args.epochs,
-            dropout_flag=args.dropout,
+            dropout_flag=args.dropout, compute_dtype=args.compute_dtype,
             train_sent_range=train_range, cv_sent_range=cv_range,
             # the 3M-frame corpus spans ~6.2 GB normalized (noisy+clean);
             # keep it HBM-resident (v5e has 16 GB) instead of falling back
