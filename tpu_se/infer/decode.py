@@ -48,6 +48,19 @@ BLEND_AUTO_TAU_DB = 20.0
 BLEND_AUTO_MAX = 0.9
 
 
+def _check_blend(blend):
+    """Validate a blend setting: 'auto' or a numeric value in [0, 1)."""
+    if isinstance(blend, str) and blend == "auto":
+        return blend
+    try:
+        val = float(blend)
+    except (TypeError, ValueError):
+        raise ValueError(f"blend must be 'auto' or in [0, 1), got {blend!r}")
+    if not 0.0 <= val < 1.0:
+        raise ValueError(f"blend must be 'auto' or in [0, 1), got {blend!r}")
+    return val
+
+
 @functools.partial(jax.jit, static_argnames=("context", "compute_dtype",
                                              "blend"))
 def _enhance_lps(params, lps: jax.Array, mean: jax.Array, inv_std: jax.Array,
@@ -242,12 +255,7 @@ class Enhancer:
         self.compute_dtype = compute_dtype
         self.postprocess = postprocess
         self.smooth = smooth
-        if blend != "auto":
-            if not 0.0 <= blend < 1.0:
-                raise ValueError(f"blend must be 'auto' or in [0, 1), "
-                                 f"got {blend}")
-            blend = float(blend)
-        self.blend = blend
+        self.blend = _check_blend(blend)
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -307,12 +307,9 @@ class StreamingEnhancer:
     def __init__(self, wts_path, norm_path, n_streams: int = 1,
                  context: int = 7, compute_dtype=jnp.float32,
                  sample_rate: int = 16000, mesh=None, blend: float = 0.0):
-        if blend != "auto":
-            if not 0.0 <= blend < 1.0:
-                raise ValueError(f"blend must be 'auto' or in [0, 1), "
-                                 f"got {blend}")
-            blend = float(blend)
-        self.blend = blend
+        from tpu_se.infer.decode import _check_blend
+
+        self.blend = _check_blend(blend)
         self.params = params_from_wts(read_wts(wts_path))
         dim = self.params[-1]["b"].shape[0]
         mean, inv_std = read_norm(norm_path, dim)

@@ -41,12 +41,23 @@ def save_checkpoint(path_wts: str, state: TrainState,
         arrays[f"vel_w_{i}"] = np.asarray(l["w"])
         arrays[f"vel_b_{i}"] = np.asarray(l["b"])
     arrays["alpha"] = np.asarray(state.alpha)
-    # Atomic like write_wts: a crash mid-write must not leave a truncated
-    # sidecar that load_checkpoint would then try to restore.
+    # Atomic like write_wts (flush+fsync before rename, unlink tmp on error):
+    # a crash mid-write must not leave a truncated sidecar that
+    # load_checkpoint would then try to restore.
     spath = _state_path(path_wts)
     tmp = f"{spath}.tmp.{os.getpid()}.npz"
-    np.savez(tmp, **arrays)
-    os.replace(tmp, spath)
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, spath)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def load_checkpoint(path_wts: str) -> TrainState:

@@ -19,16 +19,14 @@ from __future__ import annotations
 import math
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax.numpy as jnp
 import numpy as np
 
 from tpu_se.data import PfilePairDataset, PrefetchIterator
-from tpu_se.data.chunks import sentence_windows
 from tpu_se.losses import ref_gamma
 from tpu_se.models import DEFAULT_LAYERSIZES, init_params, params_from_wts
-from tpu_se.io.wts import read_wts
 from tpu_se.train.checkpoint import load_checkpoint, save_checkpoint
 from tpu_se.train.step import (
     TrainHyper, TrainState, cv_forward, make_train_state, train_chunk,
