@@ -32,7 +32,8 @@ def cmd_lps_extract(args) -> int:
     from tpu_se.io.wav import read_htk_waveform
 
     wavs = _read_scp(args.scp) if args.scp else args.wav
-    for path in wavs:
+
+    def one(path: str) -> str:
         if args.format == "RAW":
             wave = read_raw(path, swap=args.swap)
             sr = args.fs * 1000           # Wav2LogSpec_be.c:344-360
@@ -48,33 +49,93 @@ def cmd_lps_extract(args) -> int:
         # commented out there).
         write_htk(out, lps, samp_period=160000 * (2 * args.win + 1),
                   no_header=args.noh)
-        print(f"{path}: {lps.shape[0]} frames -> {out}")
+        return f"{path}: {lps.shape[0]} frames -> {out}"
+
+    # --jobs: the reference packers fork across scp shards
+    # (tools_pfile/pfile_noisy.pl:28-36, GetLenForFeaScp.pl:11-27); here a
+    # thread pool suffices — numpy and the jit'd LPS kernel release the GIL,
+    # and each wav writes an independent .lps.
+    if args.jobs > 1 and len(wavs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=args.jobs) as pool:
+            for line in pool.map(one, wavs):
+                print(line)
+    else:
+        for path in wavs:
+            print(one(path))
     return 0
 
 
 def cmd_make_pfile(args) -> int:
-    from tpu_se.io import read_htk, write_pfile
+    """feacat equivalent: .lps list -> pfile.
+
+    Streaming build (QuickNet's feacat memory model): one utterance resident
+    at a time, appended through :class:`PfileWriter`; with ``--jobs`` the
+    HTK reads run ahead on a thread pool while the writer consumes in scp
+    order (the reference forks per scp shard, ``pfile_noisy.pl:28-36``).
+    """
+    from tpu_se.io import read_htk
+    from tpu_se.io.pfile import PfileWriter
 
     paths = _read_scp(args.scp)
-    utts = [read_htk(p)[0] for p in paths]
-    # GetLenForFeaScp.pl:57-67 warns on implausibly short/long utterances
-    # (< 300 ms or > 30 s at the 16 ms frame shift).
-    for p, u in zip(paths, utts):
-        t = u.shape[0]
-        if t < 300 // 16:
-            print(f"warning: {p}: only {t} frames (< 300 ms)", file=sys.stderr)
-        elif t > 30000 // 16:
-            print(f"warning: {p}: {t} frames (> 30 s)", file=sys.stderr)
     desired = None
     if args.deslenfile:
         desired = [int(line) for line in _read_scp(args.deslenfile)]
-    write_pfile(args.out, utts, desired_lengths=desired)
-    total = sum(u.shape[0] for u in utts)
-    print(f"{len(utts)} sentences, {total} frames -> {args.out}")
+        if len(desired) != len(paths):
+            raise SystemExit("deslenfile/scp count mismatch")
+
+    if args.jobs > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=args.jobs)
+        # Bounded read-ahead keeps memory O(jobs) utterances.
+        pending = {}
+        window = 2 * args.jobs
+
+        def fetch(i):
+            if i < len(paths) and i not in pending:
+                pending[i] = pool.submit(lambda p: read_htk(p)[0], paths[i])
+
+        def get(i):
+            for j in range(i, min(i + window, len(paths))):
+                fetch(j)
+            return pending.pop(i).result()
+    else:
+        pool = None
+
+        def get(i):
+            return read_htk(paths[i])[0]
+
+    lengths = []
+    try:
+        with PfileWriter(args.out) as w:
+            for i, p in enumerate(paths):
+                u = get(i)
+                t = u.shape[0]
+                # GetLenForFeaScp.pl:57-67 warns on implausibly short/long
+                # utterances (< 300 ms or > 30 s at the 16 ms frame shift).
+                if t < 300 // 16:
+                    print(f"warning: {p}: only {t} frames (< 300 ms)",
+                          file=sys.stderr)
+                elif t > 30000 // 16:
+                    print(f"warning: {p}: {t} frames (> 30 s)",
+                          file=sys.stderr)
+                # --lenfile records the raw .lps frame count (pre-truncation),
+                # like GetLenForFeaScp.pl:52 measuring the file itself.
+                lengths.append(t)
+                if desired is not None:
+                    u = u[:desired[i]]
+                w.add(u)
+            print(f"{w.num_sentences} sentences, {w.num_frames} frames "
+                  f"-> {args.out}")
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
     if args.lenfile:
         with open(args.lenfile, "w") as f:
-            for u in utts:
-                f.write(f"{u.shape[0]}\n")
+            for t in lengths:
+                f.write(f"{t}\n")
     return 0
 
 
@@ -88,13 +149,14 @@ def cmd_concat_pfile(args) -> int:
 
 
 def cmd_get_norm(args) -> int:
-    from tpu_se.io import read_pfile, write_norm
-    from tpu_se.io.norm import compute_norm
+    from tpu_se.io import write_norm
+    from tpu_se.io.norm import compute_norm_pfile
+    from tpu_se.io.pfile import read_pfile_meta
 
-    pf = read_pfile(args.pfile)
-    mean, inv_std = compute_norm(pf.features)
+    mean, inv_std = compute_norm_pfile(args.pfile)
     write_norm(args.out, mean, inv_std, with_headers=not args.no_headers)
-    print(f"{pf.num_frames} frames x {pf.dim} dims -> {args.out}")
+    _, n_frames, dim, _ = read_pfile_meta(args.pfile)
+    print(f"{n_frames} frames x {dim} dims -> {args.out}")
     return 0
 
 
@@ -299,6 +361,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--swap", action="store_true")
     s.add_argument("--win", type=int, default=0,
                    help="stack 2*win+1 frames per row (Wav2LPS_be -win)")
+    s.add_argument("--jobs", type=int, default=1,
+                   help="parallel workers over the scp "
+                        "(pfile_noisy.pl:28-36 fork analog)")
     s.add_argument("--noh", action="store_true",
                    help="omit the HTK header on output (Wav2LPS_be -noh)")
     s.add_argument("-o", "--out", help="output path (single input only)")
@@ -307,6 +372,8 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("make-pfile", help=".lps list -> pfile")
     s.add_argument("scp")
     s.add_argument("-o", "--out", required=True)
+    s.add_argument("--jobs", type=int, default=1,
+                   help="read-ahead workers (writer stays in scp order)")
     s.add_argument("--lenfile", help="also write frame_numbers.len")
     s.add_argument("--deslenfile",
                    help="truncate utterances to these lengths "

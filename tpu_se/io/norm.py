@@ -68,3 +68,35 @@ def compute_norm(features: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     mean = features.mean(axis=0)
     var = np.maximum(features.var(axis=0), 1e-20)
     return mean.astype(np.float32), (1.0 / np.sqrt(var)).astype(np.float32)
+
+
+def compute_norm_pfile(path, block_frames: int | None = None
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Streaming qnnorm: per-dim mean + reciprocal std over a pfile on disk.
+
+    Accumulates float64 sum / sum-of-squares over ``read_pfile_rows`` blocks
+    — O(block) memory like QuickNet's streaming qnnorm binary
+    (``tools_pfile/get_norm.pl:3``), so 100-hour-scale archives (~24 GB)
+    norm fine on a small host.  Matches ``compute_norm`` exactly on the
+    same data: sum/sumsq in float64 is the same computation either way up
+    to the float64 addition order, and the bundled-fixture test pins
+    byte-identical .norm output.
+    """
+    from tpu_se.io.pfile import STREAM_BLOCK_FRAMES, read_pfile_rows, \
+        read_pfile_meta
+
+    if block_frames is None:
+        block_frames = STREAM_BLOCK_FRAMES
+    _, n_frames, dim, _ = read_pfile_meta(path)
+    s = np.zeros(dim, dtype=np.float64)
+    ss = np.zeros(dim, dtype=np.float64)
+    done = 0
+    while done < n_frames:
+        n = min(block_frames, n_frames - done)
+        block = read_pfile_rows(path, dim, done, done + n).astype(np.float64)
+        s += block.sum(axis=0)
+        ss += np.square(block).sum(axis=0)
+        done += n
+    mean = s / n_frames
+    var = np.maximum(ss / n_frames - mean * mean, 1e-20)
+    return mean.astype(np.float32), (1.0 / np.sqrt(var)).astype(np.float32)

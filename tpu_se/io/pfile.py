@@ -118,35 +118,8 @@ def read_pfile(path) -> PFile:
     return PFile(features, sent_ids, frame_ids, sent_ends)
 
 
-def concat_pfiles(out_path, in_paths: list) -> None:
-    """Merge pfiles sentence-wise (QuickNet ``pfile_concat`` equivalent,
-    ``tools_pfile/pfile_noisy.pl:46``)."""
-    utts = []
-    for p in in_paths:
-        pf = read_pfile(p)
-        utts.extend(pf.sentence(i) for i in range(pf.num_sentences))
-    write_pfile(out_path, utts)
-
-
-def write_pfile(path, utterances: list[np.ndarray],
-                desired_lengths: list[int] | None = None) -> None:
-    """Write a list of [T_i, D] float32 arrays as a reference-layout pfile.
-
-    ``desired_lengths`` truncates each utterance to the given frame count —
-    feacat's ``-deslenfile`` option (``pfile_noisy.pl:34``), used to force
-    noisy/clean feature pairs to identical lengths.
-    """
-    if desired_lengths is not None:
-        if len(desired_lengths) != len(utterances):
-            raise ValueError("desired_lengths/utterances count mismatch")
-        utterances = [u[:n] for u, n in zip(utterances, desired_lengths)]
-    if not utterances:
-        raise ValueError("no utterances")
-    dim = utterances[0].shape[1]
-    num_frames = sum(u.shape[0] for u in utterances)
-    num_sents = len(utterances)
+def _pfile_header(num_sents: int, num_frames: int, dim: int) -> bytes:
     ncol = 2 + dim
-
     header_lines = [
         f"-pfile_header version 0 size {PFILE_HEADER_SIZE}",
         f"-num_sentences {num_sents}",
@@ -163,23 +136,153 @@ def write_pfile(path, utterances: list[np.ndarray],
     header = ("\n".join(header_lines) + "\n").encode("ascii")
     if len(header) > PFILE_HEADER_SIZE:
         raise ValueError("pfile header overflow")
-    header = header.ljust(PFILE_HEADER_SIZE, b"\0")
+    return header.ljust(PFILE_HEADER_SIZE, b"\0")
 
-    with open(path, "wb") as f:
-        f.write(header)
-        cum = 0
-        ends = []
-        for sent_id, utt in enumerate(utterances):
-            utt = np.asarray(utt, dtype=np.float32)
-            if utt.shape[1] != dim:
-                raise ValueError("inconsistent feature dims across utterances")
-            t = utt.shape[0]
-            rows = np.empty((t, ncol), dtype=">i4")
-            rows[:, 0] = sent_id
-            rows[:, 1] = np.arange(t, dtype=np.int32)
-            rows[:, 2:] = utt.astype(">f4").view(">i4")
-            f.write(rows.tobytes())
-            cum += t
-            ends.append(cum)
-        table = np.concatenate([[0], ends]).astype(">i4")
-        f.write(table.tobytes())
+
+class PfileWriter:
+    """Streaming pfile writer with O(one utterance) memory.
+
+    QuickNet's feacat/pfile_concat are streaming C++ programs — the pfile
+    format exists so the trainer can fseek/fread chunks
+    (``Interface.cc:746-766``).  This writer matches that memory model for
+    the *build* side: a placeholder 32 KB header is written first, rows are
+    appended per utterance, and ``close()`` writes the cumulative sentence
+    table and back-patches the header with the final counts.  The bytes
+    produced are identical to the one-shot ``write_pfile`` (pinned by
+    ``tests/test_streaming_build.py``).
+
+    Usage::
+
+        with PfileWriter(path) as w:
+            for utt in utterances:      # each [T_i, D] float32
+                w.add(utt)
+    """
+
+    def __init__(self, path):
+        self._f = open(path, "wb")
+        self._f.write(b"\0" * PFILE_HEADER_SIZE)
+        self._dim = None
+        self._ends: list[int] = []
+        self._cum = 0
+
+    @property
+    def num_sentences(self) -> int:
+        return len(self._ends)
+
+    @property
+    def num_frames(self) -> int:
+        return self._cum
+
+    def add(self, utt: np.ndarray) -> None:
+        utt = np.asarray(utt, dtype=np.float32)
+        if utt.ndim != 2:
+            raise ValueError(f"utterance must be [T, D], got {utt.shape}")
+        if self._dim is None:
+            self._dim = utt.shape[1]
+        elif utt.shape[1] != self._dim:
+            raise ValueError("inconsistent feature dims across utterances")
+        t = utt.shape[0]
+        ncol = 2 + self._dim
+        rows = np.empty((t, ncol), dtype=">i4")
+        rows[:, 0] = len(self._ends)
+        rows[:, 1] = np.arange(t, dtype=np.int32)
+        rows[:, 2:] = utt.astype(">f4").view(">i4")
+        self._f.write(rows.tobytes())
+        self._cum += t
+        self._ends.append(self._cum)
+
+    def add_raw_rows(self, raw: bytes | np.ndarray, dim: int,
+                     sent_id_offset: int = 0) -> None:
+        """Append pre-encoded BE rows (int32 sent, int32 frame, D float32),
+        remapping the sentence-id column by ``sent_id_offset`` — the
+        streaming concat fast path (no float decode/re-encode)."""
+        if self._dim is None:
+            self._dim = dim
+        elif dim != self._dim:
+            raise ValueError("inconsistent feature dims across inputs")
+        ncol = 2 + dim
+        rows = np.frombuffer(raw, dtype=">i4").reshape(-1, ncol).copy() \
+            if not isinstance(raw, np.ndarray) else raw
+        if sent_id_offset:
+            rows[:, 0] = (rows[:, 0].astype(np.int64)
+                          + sent_id_offset).astype(">i4")
+        self._f.write(rows.tobytes())
+
+    def end_raw_sentences(self, lengths) -> None:
+        """Record sentence boundaries for rows added via add_raw_rows."""
+        for t in lengths:
+            self._cum += int(t)
+            self._ends.append(self._cum)
+
+    def close(self) -> None:
+        if self._f is None:
+            return
+        if not self._ends:
+            self._f.close()
+            self._f = None
+            raise ValueError("no utterances")
+        table = np.concatenate([[0], self._ends]).astype(">i4")
+        self._f.write(table.tobytes())
+        self._f.seek(0)
+        self._f.write(_pfile_header(len(self._ends), self._cum, self._dim))
+        self._f.close()
+        self._f = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.close()
+        elif self._f is not None:
+            self._f.close()
+            self._f = None
+        return False
+
+
+# Streaming block size for concat/norm: ~16 MB of 257-dim rows.
+STREAM_BLOCK_FRAMES = 16384
+
+
+def concat_pfiles(out_path, in_paths: list) -> None:
+    """Merge pfiles sentence-wise (QuickNet ``pfile_concat`` equivalent,
+    ``tools_pfile/pfile_noisy.pl:46``).
+
+    Streaming: rows are copied in ~16 MB blocks with only the sentence-id
+    column remapped — O(block) memory regardless of archive size.
+    """
+    with PfileWriter(out_path) as w:
+        sent_off = 0
+        for p in in_paths:
+            n_sents, n_frames, dim, ends = read_pfile_meta(p)
+            ncol = 2 + dim
+            with open(p, "rb") as f:
+                f.seek(PFILE_HEADER_SIZE)
+                done = 0
+                while done < n_frames:
+                    n = min(STREAM_BLOCK_FRAMES, n_frames - done)
+                    raw = f.read(n * ncol * 4)
+                    rows = np.frombuffer(raw, dtype=">i4").reshape(n, ncol)
+                    w.add_raw_rows(rows.copy(), dim, sent_id_offset=sent_off)
+                    done += n
+            w.end_raw_sentences(np.diff(np.concatenate([[0], ends])))
+            sent_off += n_sents
+
+
+def write_pfile(path, utterances: list[np.ndarray],
+                desired_lengths: list[int] | None = None) -> None:
+    """Write a list of [T_i, D] float32 arrays as a reference-layout pfile.
+
+    ``desired_lengths`` truncates each utterance to the given frame count —
+    feacat's ``-deslenfile`` option (``pfile_noisy.pl:34``), used to force
+    noisy/clean feature pairs to identical lengths.
+    """
+    if desired_lengths is not None:
+        if len(desired_lengths) != len(utterances):
+            raise ValueError("desired_lengths/utterances count mismatch")
+        utterances = [u[:n] for u, n in zip(utterances, desired_lengths)]
+    if not utterances:
+        raise ValueError("no utterances")
+    with PfileWriter(path) as w:
+        for utt in utterances:
+            w.add(utt)
