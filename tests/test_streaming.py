@@ -207,3 +207,79 @@ def test_feed_out_of_range_integers_skip_int16_wire(small_model):
     diff = np.abs(out_loud[:k].astype(np.int32)
                   - ref[:k].astype(np.int32))
     assert diff.max() <= 1            # float path, not int16-wrapped garbage
+
+
+@pytest.fixture(scope="module", params=[8000, 11000])
+def rate_model(request, tmp_path_factory, reference_dir):
+    """A small model + realistic norm at the 8 kHz (256/128, 2-hop OLA) or
+    11 kHz (256/110, 3-hop OLA) config — VERDICT r4 #3: these reach
+    _stream_step's ring logic and flush's partial-hop `need` arithmetic
+    through paths the 16 kHz tests never exercise."""
+    from tpu_se.dsp import wav_to_lps
+    from tpu_se.io.norm import compute_norm
+
+    sr = request.param
+    d = tmp_path_factory.mktemp(f"stream_model_{sr}")
+    bins = 129                       # fft 256 -> 129 bins at both rates
+    params = init_params(11, (7 * bins, 32, 32, bins))
+    wts = str(d / "m.wts")
+    write_wts(wts, params_to_wts(params))
+    noisy16, _ = read_wav(reference_dir / NOISY_DEMO)
+    wave = noisy16[::2].astype(np.float32)      # content at sr is irrelevant
+    lps = np.asarray(wav_to_lps(wave, sample_rate=sr))
+    mean, inv_std = compute_norm(lps)
+    norm = str(d / "m.norm")
+    write_norm(norm, mean, inv_std)
+    return sr, wts, norm, wave
+
+
+def test_stream_matches_batch_8k_11k(rate_model):
+    """feed()+flush() == batch Enhancer at 8 and 11 kHz to 1 int16 LSB,
+    with a tail that exercises flush's partial-hop `need` branch
+    (streaming.py flush: at 11 kHz a >= 36-sample tail forms one more
+    frame; at 8 kHz need == shift so the tail is always dropped —
+    matching the batch framer's num_frames in both cases)."""
+    from tpu_se.dsp.analysis import rate_config
+    from tpu_se.infer import Enhancer, StreamingEnhancer
+
+    sr, wts, norm, wave = rate_model
+    _, shift, _ = rate_config(sr)
+    # Tail of 50 samples: at 11 kHz (need = 256 - 2*110 = 36) this takes
+    # the partial-hop push inside flush(); at 8 kHz (need = 128) it drops.
+    wave = wave[: (len(wave) // shift - 2) * shift + 50]
+
+    batch = Enhancer(wts, norm, sample_rate=sr).enhance(wave)[0] \
+        .astype(np.int32)
+    s = StreamingEnhancer(wts, norm, sample_rate=sr)
+    rng = np.random.default_rng(sr)
+    pieces, i = [], 0
+    while i < len(wave):
+        n = int(rng.integers(1, 700))
+        pieces.append(s.feed(wave[i:i + n]))
+        i += n
+    pieces.append(s.flush())
+    stream = np.concatenate(pieces).astype(np.int32)
+
+    assert stream.shape == batch.shape
+    diff = np.abs(stream - batch)
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.02
+
+
+def test_stream_tail_below_need_dropped_11k(rate_model):
+    """At 11 kHz a tail shorter than `need` (36) must NOT form an extra
+    frame — output length equals the batch framer's."""
+    from tpu_se.infer import Enhancer, StreamingEnhancer
+
+    sr, wts, norm, wave = rate_model
+    if sr != 11000:
+        pytest.skip("need-branch below-threshold case is 11 kHz-specific")
+    shift = 110
+    wave = wave[: (len(wave) // shift - 2) * shift + 20]   # 20 < need=36
+
+    batch = Enhancer(wts, norm, sample_rate=sr).enhance(wave)[0] \
+        .astype(np.int32)
+    s = StreamingEnhancer(wts, norm, sample_rate=sr)
+    stream = np.concatenate([s.feed(wave), s.flush()]).astype(np.int32)
+    assert stream.shape == batch.shape
+    assert np.abs(stream - batch).max() <= 1
