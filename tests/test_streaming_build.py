@@ -84,7 +84,7 @@ def test_streaming_norm_matches_in_memory(reference_dir, tmp_path):
 
 
 _BIG_BUILD = textwrap.dedent("""
-    import resource, sys
+    import sys
     import numpy as np
     from tpu_se.io import PfileWriter, compute_norm_pfile, concat_pfiles
 
@@ -108,8 +108,13 @@ _BIG_BUILD = textwrap.dedent("""
     assert abs(float(mean.mean()) - 2.0) < 0.02
     assert abs(float((1.0 / inv_std).mean()) - 3.0) < 0.02
 
-    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
-    print(f"RSS_MB={rss_mb:.1f}")
+    # VmHWM (peak RSS of THIS address space) rather than ru_maxrss: the
+    # latter survives execve, so a child forked from a large pytest parent
+    # inherits the parent's COW footprint as its "max".
+    with open("/proc/self/status") as f:
+        hwm_kb = next(int(line.split()[1]) for line in f
+                      if line.startswith("VmHWM:"))
+    print(f"RSS_MB={hwm_kb / 1024:.1f}")
 """)
 
 

@@ -375,27 +375,62 @@ def run_training(cfg: TrainConfig, log=print) -> str:
         # Mid-epoch resume: a partial checkpoint (written every
         # checkpoint_every_chunks trained chunks) restarts inside the
         # epoch with the exact optimizer state and shuffle position.
-        partial_path = os.path.join(cfg.out_dir, f"mlp.{epoch}.partial.wts")
-        meta_path = partial_path + ".meta.json"
+        # Partial checkpoints are chunk-stamped and committed by an atomic
+        # meta rename: mlp.N.partial.<k>.wts (+ .state.npz sidecar) are
+        # fully written and fsync'd BEFORE the meta file naming <k> is
+        # renamed into place.  A crash at ANY point leaves meta pointing at
+        # a complete, self-consistent (weights, velocity, alpha, position)
+        # set — with a single mutable partial path, a kill between the .wts
+        # and sidecar renames could mix chunk-k weights with chunk-(k-1)
+        # velocity and silently break bit-exact resume.  Non-main processes
+        # only ever read the committed meta (on restart, from shared
+        # storage), so multi-host resume sees the same consistent set.
+        partial_stem = os.path.join(cfg.out_dir, f"mlp.{epoch}.partial")
+        meta_path = f"{partial_stem}.wts.meta.json"
         start_chunk = 0
         if cfg.checkpoint_every_chunks and os.path.exists(meta_path):
             import json
             with open(meta_path) as f:
                 meta = json.load(f)
             if meta.get("epoch") == epoch:
-                state = load_checkpoint(partial_path)
                 start_chunk = int(meta["chunks_done"])
+                state = load_checkpoint(f"{partial_stem}.{start_chunk}.wts")
                 log(f"epoch {epoch}: resuming mid-epoch at chunk "
-                    f"{start_chunk} from {partial_path}")
+                    f"{start_chunk} from {partial_stem}.{start_chunk}.wts")
+
+        def _partial_files():
+            import glob
+            return glob.glob(f"{partial_stem}.*")
 
         def save_partial(st, chunks_done, _epoch=epoch,
-                         _pp=partial_path, _mp=meta_path):
+                         _stem=partial_stem, _mp=meta_path):
             import json
             if not is_main:
                 return
-            save_checkpoint(_pp, st)
-            with open(_mp, "w") as f:
-                json.dump({"epoch": _epoch, "chunks_done": chunks_done}, f)
+            pp = f"{_stem}.{chunks_done}.wts"
+            save_checkpoint(pp, st)
+            tmp = f"{_mp}.tmp.{os.getpid()}"
+            try:
+                with open(tmp, "w") as f:
+                    json.dump({"epoch": _epoch,
+                               "chunks_done": chunks_done}, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, _mp)       # commit point
+            except BaseException:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
+            # Older stamped partials are garbage once the new meta commits.
+            for p in _partial_files():
+                if (not p.endswith(".meta.json")
+                        and f".{chunks_done}.wts" not in p):
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
 
         lr = cfg.lr_for_epoch(epoch)
         rng = np.random.default_rng(cfg.seed_for_epoch(epoch))
@@ -420,7 +455,7 @@ def run_training(cfg: TrainConfig, log=print) -> str:
             # alpha is recomputed at the first ML bunch, so the full-state
             # sidecar only matters when velocity carries across epochs.
             save_checkpoint(out_path, state, with_state=cfg.carry_velocity)
-            for p in (partial_path, partial_path + ".state.npz", meta_path):
+            for p in _partial_files():
                 if os.path.exists(p):
                     os.remove(p)
         # Non-main processes must not start epoch N+1 (which loads this
