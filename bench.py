@@ -41,6 +41,11 @@ def main() -> int:
                          "bfloat16 halves gather traffic and is "
                          "value-preserving for --bf16 compute (the MXU "
                          "rounds GEMM inputs to bf16 regardless)")
+    ap.add_argument("--step", default="gspmd", choices=["gspmd", "overlap"],
+                    help="training step variant: the GSPMD train_chunk "
+                         "(default) or the shard_map per-layer-psum "
+                         "overlap step on a 1-device mesh (sanity: the "
+                         "hand-written backward must match vjp throughput)")
     ap.add_argument("--out", default=None,
                     help="also write the JSON record to this file")
     args = ap.parse_args()
@@ -93,6 +98,15 @@ def main() -> int:
         # A host read of a reduced value: robust completion barrier even on
         # remote-relay backends where block_until_ready can return early.
         return float(jnp.sum(s.params[0]["w"]))
+
+    if args.step == "overlap":
+        from tpu_se.parallel import make_mesh
+        from tpu_se.parallel.overlap_step import train_chunk_overlap
+
+        mesh1 = make_mesh(1, 1, devices=[dev])
+
+        def train_chunk(st, n, c, s, l, h):  # noqa: F811 — bench shim
+            return train_chunk_overlap(st, n, c, s, l, h, mesh=mesh1)
 
     # Warm-up / compile.
     state = train_chunk(state, noisy_d, clean_d, starts_d, lr, hyper)

@@ -240,3 +240,90 @@ def test_sharded_streaming_matches_single(devices8, tmp_path):
     out_m, valid_m = sharded.push_many(hops, int16_wire=True)
     np.testing.assert_array_equal(valid_s, valid_m)
     np.testing.assert_array_equal(out_s, out_m)
+
+
+@pytest.mark.parametrize("ml,activation", [(True, "sigmoid"),
+                                           (False, "sigmoid"),
+                                           (True, "relu")])
+def test_overlap_step_unsharded_matches_train_chunk(ml, activation):
+    """The hand-written per-layer-psum backward (overlap step, mesh=None)
+    reproduces jax.vjp's gradients through the full chunk scan."""
+    from tpu_se.parallel.overlap_step import train_chunk_overlap
+
+    noisy, clean, starts, params, layersizes = _problem()
+    hyper = TrainHyper(beta=1.0, ml=ml, bunchsize=16, context=3,
+                       targ_offset=1, activation=activation)
+    snap = [{k: np.asarray(v).copy() for k, v in l.items()} for l in params]
+    ref = _run(make_train_state(params, layersizes[-1]),
+               noisy, clean, starts, hyper)
+
+    p2 = [{"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])} for l in snap]
+    got = train_chunk_overlap(
+        make_train_state(p2, layersizes[-1]), jnp.asarray(noisy),
+        jnp.asarray(clean), jnp.asarray(starts), jnp.float32(0.05), hyper)
+    for lr_, lo in zip(ref.params, got.params):
+        np.testing.assert_allclose(np.asarray(lo["w"]), np.asarray(lr_["w"]),
+                                   rtol=2e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(lo["b"]), np.asarray(lr_["b"]),
+                                   rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got.alpha), np.asarray(ref.alpha),
+                               rtol=1e-5)
+
+
+@pytest.mark.parametrize("ml", [False, True])
+def test_overlap_step_dp8_matches_single_device(devices8, ml):
+    """shard_map overlap step on the 8-device mesh == unsharded train_chunk
+    (same global-batch gradient sums and alpha, one chained psum per layer
+    — VERDICT r4 #1's engineered collective split)."""
+    from tpu_se.parallel.overlap_step import (
+        shard_overlap_args, train_chunk_overlap,
+    )
+
+    noisy, clean, starts, params, layersizes = _problem(seed=3)
+    hyper = TrainHyper(beta=1.0, ml=ml, bunchsize=16, context=3,
+                       targ_offset=1)
+    snap = [{k: np.asarray(v).copy() for k, v in l.items()} for l in params]
+    single = _run(make_train_state(params, layersizes[-1]),
+                  noisy, clean, starts, hyper)
+
+    mesh = make_mesh(8, 1)
+    p2 = [{"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])} for l in snap]
+    n2, c2, s2 = shard_overlap_args(mesh, noisy, clean, starts)
+    got = train_chunk_overlap(make_train_state(p2, layersizes[-1]),
+                              n2, c2, s2, jnp.float32(0.05), hyper,
+                              mesh=mesh)
+    for ls, lo in zip(single.params, got.params):
+        np.testing.assert_allclose(np.asarray(lo["w"]), np.asarray(ls["w"]),
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(lo["b"]), np.asarray(ls["b"]),
+                                   rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.alpha),
+                               np.asarray(single.alpha), rtol=1e-4)
+
+
+def test_overlap_step_bf16_ring_matches_gspmd_bf16(devices8):
+    """Under bf16 compute the overlap step's per-layer rings run in bf16
+    (byte parity with the GSPMD program's narrowed all-reduce); the result
+    must agree with the GSPMD-sharded bf16 step to bf16 tolerance."""
+    from tpu_se.parallel.overlap_step import (
+        shard_overlap_args, train_chunk_overlap,
+    )
+
+    noisy, clean, starts, params, layersizes = _problem(seed=5)
+    hyper = TrainHyper(beta=1.0, ml=True, bunchsize=16, context=3,
+                       targ_offset=1, grad_scale="natural",
+                       compute_dtype=jnp.bfloat16)
+    snap = [{k: np.asarray(v).copy() for k, v in l.items()} for l in params]
+    mesh = make_mesh(8, 1)
+    gspmd = _run(make_train_state(params, layersizes[-1]),
+                 noisy, clean, starts, hyper, mesh=mesh)
+
+    p2 = [{"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])} for l in snap]
+    n2, c2, s2 = shard_overlap_args(mesh, noisy, clean, starts)
+    got = train_chunk_overlap(make_train_state(p2, layersizes[-1]),
+                              n2, c2, s2, jnp.float32(0.05), hyper,
+                              mesh=mesh)
+    for ls, lo in zip(gspmd.params, got.params):
+        np.testing.assert_allclose(np.asarray(lo["w"]), np.asarray(ls["w"]),
+                                   rtol=3e-2, atol=1e-4)
+    assert np.isfinite(np.asarray(got.alpha)).all()

@@ -331,11 +331,22 @@ def main() -> int:
     text = compiled.as_text()
     parsed = parse_hlo(text)
 
+    # Same dependency analysis for the per-layer-psum shard_map step
+    # (tpu_se.parallel.overlap_step): this is where "legally-parallel
+    # dots" become nonzero — each layer's chained psum is dependency-free
+    # w.r.t. every earlier layer's backward GEMMs.
+    from tools.overlap_sweep import _build_lowered_overlap
+
+    sm_parsed = parse_hlo(_build_lowered_overlap(mesh).compile().as_text())
+
     os.makedirs(os.path.join(REPO, "artifacts", "hlo"), exist_ok=True)
     exc = excerpt(parsed)
     with open(os.path.join(REPO, "artifacts", "hlo",
                            "train_step_spmd8.hlo.txt"), "w") as f:
         f.write(exc + "\n")
+    with open(os.path.join(REPO, "artifacts", "hlo",
+                           "train_step_shardmap8.hlo.txt"), "w") as f:
+        f.write(excerpt(sm_parsed) + "\n")
 
     tpu = try_tpu_aot()
     tpu_rec = {k: v for k, v in tpu.items() if k != "hlo"}
@@ -362,6 +373,11 @@ def main() -> int:
                                               for c in grads)),
         "n_grad_collectives": len(grads),
         "n_small_collectives": len(small),
+        "shardmap_overlap_step": {
+            "scan_body": sm_parsed["body"],
+            "n_dots": sm_parsed["n_dots"],
+            "collectives": sm_parsed["collectives"],
+        },
         "tpu_aot": tpu_rec,
     }
     with open(os.path.join(REPO, "benchmarks", "hlo_collectives.json"),
