@@ -78,6 +78,8 @@ def run_perl(workdir: str, env: dict, log_path: str,
              kill_after_wts: str | None = None, timeout: float = 1800.0):
     """Run the script; if kill_after_wts is given, SIGKILL the whole
     process group as soon as that file exists (simulates a crash)."""
+    if _TPU:
+        timeout = max(timeout, 5400.0)   # relay init per epoch process
     with open(log_path, "a") as log:
         proc = subprocess.Popen(
             ["perl", "finetune.pl"], cwd=workdir, env=env,
@@ -104,7 +106,18 @@ def main() -> int:
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--epochs", type=int, default=12,
                     help="must match the patched loop bound")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run the epoch processes on the real TPU through "
+                         "the axon relay (VERDICT r4 #6) instead of "
+                         "hermetic CPU JAX; artifacts get a _tpu suffix. "
+                         "Each epoch is its own process (the reference's "
+                         "model), so each pays the relay backend init; "
+                         "the persistent jit cache makes compiles "
+                         "one-time.")
     args = ap.parse_args()
+    global _TPU, _ART_SUFFIX
+    _TPU = args.tpu
+    _ART_SUFFIX = "_tpu" if args.tpu else ""
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="finetune_pl_")
     os.makedirs(workdir, exist_ok=True)
@@ -124,7 +137,7 @@ def main() -> int:
 
     art_dir = os.path.join(REPO, "artifacts", "finetune_pl")
     os.makedirs(art_dir, exist_ok=True)
-    drv_log = os.path.join(art_dir, "driver.log")
+    drv_log = os.path.join(art_dir, f"driver{_ART_SUFFIX}.log")
     if os.path.exists(drv_log):
         os.remove(drv_log)
 
@@ -191,13 +204,14 @@ def main() -> int:
 
     summary = {
         "script": REF_SCRIPT,
+        "platform": "tpu (axon relay, v5e)" if _TPU else "cpu",
         "patched_lines": sorted(PATCHES),
         "epochs_run": args.epochs,
         "killed_after_epochs": len(done_before),
         "resume_verified_mtimes_unchanged": sorted(mtimes),
         "epochs": epochs,
     }
-    out = os.path.join(art_dir, "finetune_pl_run.json")
+    out = os.path.join(art_dir, f"finetune_pl_run{_ART_SUFFIX}.json")
     with open(out, "w") as f:
         json.dump(summary, f, indent=1)
     print(f"summary -> {out}")
@@ -209,12 +223,23 @@ def main() -> int:
     return 0
 
 
+_TPU = False
+_ART_SUFFIX = ""
+
+
 def _env() -> dict:
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    # The perl script's children must run hermetic CPU JAX.
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PALLAS_AXON_POOL_IPS"] = ""
+    if _TPU:
+        # Real-chip run through the axon relay: ONE trainer process at a
+        # time (the perl driver is sequential already); platform left as
+        # the environment provides it.
+        env.pop("JAX_PLATFORMS", None)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+    else:
+        # The perl script's children must run hermetic CPU JAX.
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PALLAS_AXON_POOL_IPS"] = ""
     return env
 
 

@@ -517,8 +517,27 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _setup_compilation_cache() -> None:
+    """Persistent jit cache shared across CLI processes.
+
+    The reference's process model is one trainer process per epoch
+    (``finetune.pl:47-126``); without a persistent cache every epoch
+    process would re-pay the full XLA compile (minutes each through a
+    remote TPU compiler).  Override the location with TPU_SE_JAX_CACHE;
+    set it empty to disable."""
+    cache = os.environ.get("TPU_SE_JAX_CACHE",
+                           os.path.expanduser("~/.cache/tpu_se_jax"))
+    if not cache:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def main(argv=None) -> int:
     raw = sys.argv[1:] if argv is None else list(argv)
+    _setup_compilation_cache()
     if raw and raw[0] == "bptrain":
         # Drop-in BPtrain_Sigmoid front-end: key=value argument strings
         # (Interface.cc:150-315), bypassing argparse entirely so a
