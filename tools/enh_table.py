@@ -41,6 +41,10 @@ def main() -> int:
     ap.add_argument("--arms", default="MLGGD1,MLGGD09,MMSE")
     ap.add_argument("--blend", default="0.5",
                     help="fixed fraction or 'auto' (adaptive map)")
+    ap.add_argument("--smooth-strength", default="0",
+                    help="fractional SMOOTHPROCESS (0=off, 1=the "
+                         "reference's binary option, 'auto'=impulsiveness-"
+                         "gated)")
     ap.add_argument("--seed-dir", default="",
                     help="e.g. s1000 to score that seed's models")
     ap.add_argument("--out", default="")
@@ -61,7 +65,11 @@ def main() -> int:
     for a in args.arms.split(","):
         wts = os.path.join(args.root, args.seed_dir, a, "mlp.50.wts")
         blend = args.blend if args.blend == "auto" else float(args.blend)
-        arms[a] = Enhancer(wts, norm, blend=blend)
+        ss = args.smooth_strength
+        ss = ss if ss == "auto" else float(ss)
+        arms[a] = Enhancer(wts, norm, blend=blend,
+                           smooth=ss == "auto" or ss > 0,
+                           smooth_strength=ss or 1.0)
 
     rows = []
     n_improved = {a: {"segsnr": 0, "stoi": 0, "lsd": 0, "pesq": 0}

