@@ -86,14 +86,19 @@ def main() -> int:
     print(f"trained -> {final_wts}")
 
     # -- stage 4: decode the held-out condition -----------------------------
-    # blend="auto": the adaptive suppression-depth limiter (PARITY.md §4).
+    # The round-5 quality decode: blend="auto" (adaptive suppression-depth
+    # limiter) + smooth_strength="auto" (impulsiveness-gated fractional
+    # smoothing) — the config that improves all four metrics on all 14
+    # Enh_demos conditions for the fully-trained arms (PARITY.md §4).
     # Essential for this demo's data-starved model (trained on the 10
-    # bundled sentences): it limits the model where its suppression is
-    # unconfident — measured here: STOI 0.738 -> 0.846, LSD 9.8 -> 6.4.
+    # bundled sentences): the limiter reins the model in where its
+    # suppression is unconfident — measured here: STOI 0.738 -> 0.846,
+    # LSD 9.8 -> 6.4.
     out_dir = os.path.join(work, "enhanced")
     results = decode_files(final_wts, norm_file,
                            [n for n, _ in test_pairs], out_dir,
-                           [c for _, c in test_pairs], blend="auto")
+                           [c for _, c in test_pairs], blend="auto",
+                           smooth=True, smooth_strength="auto")
     for (nw, cw), r in zip(test_pairs, results):
         clean, fs = read_wav(cw)
         noisy, _ = read_wav(nw)

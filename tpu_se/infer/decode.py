@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_se.dsp import NUM_BINS, frame_signal, lps_from_frames, reconstruct
-from tpu_se.dsp.analysis import FRAME_BUCKET, FRAME_LENGTH, FRAME_SHIFT
+from tpu_se.dsp import frame_signal, lps_from_frames, reconstruct
+from tpu_se.dsp.analysis import FRAME_BUCKET, FRAME_SHIFT
 from tpu_se.dsp.metrics import segsnr_lsd_pair
 from tpu_se.dsp.synthesis import _synth_and_ola
 from tpu_se.io import read_norm, read_wav, write_wav

@@ -26,10 +26,10 @@ import numpy as np
 
 from tpu_se.data import PfilePairDataset, PrefetchIterator
 from tpu_se.losses import ref_gamma
-from tpu_se.models import DEFAULT_LAYERSIZES, init_params, params_from_wts
+from tpu_se.models import DEFAULT_LAYERSIZES, init_params
 from tpu_se.train.checkpoint import load_checkpoint, save_checkpoint
 from tpu_se.train.step import (
-    TrainHyper, TrainState, cv_forward, make_train_state, train_chunk,
+    TrainHyper, TrainState, make_train_state, train_chunk,
 )
 
 FRAME_PAD_BUCKET = 4096
