@@ -283,3 +283,52 @@ def test_stream_tail_below_need_dropped_11k(rate_model):
     stream = np.concatenate([s.feed(wave), s.flush()]).astype(np.int32)
     assert stream.shape == batch.shape
     assert np.abs(stream - batch).max() <= 1
+
+
+def test_streaming_smooth_causal_analog(reference_dir, small_model):
+    """Streaming fractional smoothing (causal analog of the batch
+    smoother): fixed strength alters the output; 'auto' ramps strength in
+    for quasi-stationary input (dyn EMA falls below SM_AUTO_D0) and keeps
+    it OFF for impulsive bursts (EMA stays at/above SM_AUTO_D1); stream
+    starts are smoothing-off (conservative)."""
+    from tpu_se.infer import StreamingEnhancer
+    from tpu_se.infer.decode import SM_AUTO_D0, SM_AUTO_D1
+
+    wts, norm = small_model
+    rng = np.random.default_rng(5)
+    stationary = (rng.normal(size=48000) * 3000.0).astype(np.float32)
+    t = np.arange(48000)
+    bursts = np.zeros(48000, dtype=np.float32)
+    bursts[(t // 1600) % 4 == 0] = 1.0
+    bursts *= rng.normal(size=48000).astype(np.float32) * 15000.0
+
+    def run(wave, **kw):
+        s = StreamingEnhancer(wts, norm, **kw)
+        out = np.concatenate([s.feed(wave), s.flush()])
+        return out, s
+
+    plain, _ = run(stationary)
+    smoothed, _ = run(stationary, smooth_strength=0.5)
+    assert smoothed.shape == plain.shape
+    assert np.abs(smoothed.astype(np.int32)
+                  - plain.astype(np.int32)).max() > 1
+
+    # init state: smoothing OFF at stream start
+    s0 = StreamingEnhancer(wts, norm, smooth_strength="auto")
+    assert float(np.asarray(s0.state.dyn_ema)[0]) >= SM_AUTO_D1
+
+    _, s_st = run(stationary, smooth_strength="auto")
+    _, s_im = run(bursts, smooth_strength="auto")
+    dyn_st = float(np.asarray(s_st.state.dyn_ema)[0])
+    dyn_im = float(np.asarray(s_im.state.dyn_ema)[0])
+    assert dyn_st < SM_AUTO_D0, dyn_st          # full strength reached
+    assert dyn_im >= SM_AUTO_D1, dyn_im         # gate stayed closed
+
+    # auto != plain on stationary input (smoothing engaged)...
+    auto_st, _ = run(stationary, smooth_strength="auto")
+    assert np.abs(auto_st.astype(np.int32)
+                  - plain.astype(np.int32)).max() > 1
+    # ...and invalid strengths are rejected
+    for bad in (-0.1, 1.5, "Auto"):
+        with pytest.raises(ValueError):
+            StreamingEnhancer(wts, norm, smooth_strength=bad)

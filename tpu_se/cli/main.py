@@ -297,7 +297,6 @@ def cmd_decode(args) -> int:
                                           ("--batch", args.batch > 0),
                                           ("--clean-scp", cleans is not None),
                                           ("--postprocess", args.postprocess),
-                                          ("--smooth", args.smooth),
                                           # streaming uses each wav's header
                                           # rate, not the requested one
                                           ("-fs", args.fs != 16))
@@ -313,8 +312,13 @@ def cmd_decode(args) -> int:
         os.makedirs(args.out_dir, exist_ok=True)
         for path in wavs:
             noisy, sr = read_wav(path)
+            ss = args.smooth_strength
+            if args.smooth and ss == 1.0:
+                ss = 1.0          # binary smoothing, causal analog
+            elif not args.smooth and ss == 1.0:
+                ss = 0.0          # smoothing off unless requested
             s = StreamingEnhancer(args.wts, args.norm, sample_rate=sr,
-                                  blend=args.blend)
+                                  blend=args.blend, smooth_strength=ss)
             pieces = []
             for i in range(0, len(noisy), args.stream):
                 pieces.append(s.feed(noisy[i:i + args.stream]))

@@ -77,6 +77,10 @@ class StreamState(NamedTuple):
     hops: jax.Array       # [S] int32: input hops consumed
     count: jax.Array      # [S] int32: frames pushed into the rings
     supp_ema: jax.Array   # [S] running mean suppression (dB) for blend=auto
+    noise_max: jax.Array  # [S, n_bins] causal noise floor (smooth mode)
+    sm_prev: jax.Array    # [S, n_bins] previous enhanced-frame power
+    sm_prev_db: jax.Array  # [S] previous noisy mean-frame dB
+    dyn_ema: jax.Array    # [S] EMA |Δ frame dB| (impulsiveness gate)
 
 
 def _ring_hops(frame_length: int, frame_shift: int) -> int:
@@ -88,9 +92,18 @@ def _ring_hops(frame_length: int, frame_shift: int) -> int:
 # utterance-mean suppression for stationary noise.
 _SUPP_EMA_ALPHA = 0.984
 
+# smooth="auto" impulsiveness EMA: faster (~0.3 s) — bursts reveal
+# themselves quickly and the gate must close before they get smeared.
+# dyn_ema initializes at SM_AUTO_D1 so streams START with smoothing OFF
+# (the conservative direction, mirroring the blend EMA's maximal start)
+# and ramp it in as the input proves quasi-stationary.
+_DYN_EMA_ALPHA = 0.95
+
 
 def _init_state(n_streams: int, frame_length: int, frame_shift: int,
                 n_bins: int, context: int) -> StreamState:
+    from tpu_se.infer.decode import SM_AUTO_D1
+
     half = (context - 1) // 2
     z = functools.partial(jnp.zeros, dtype=jnp.float32)
     return StreamState(
@@ -103,12 +116,16 @@ def _init_state(n_streams: int, frame_length: int, frame_shift: int,
         hops=jnp.zeros((n_streams,), dtype=jnp.int32),
         count=jnp.zeros((n_streams,), dtype=jnp.int32),
         supp_ema=z((n_streams,)),
+        noise_max=z((n_streams, n_bins)),
+        sm_prev=z((n_streams, n_bins)),
+        sm_prev_db=z((n_streams,)),
+        dyn_ema=jnp.full((n_streams,), SM_AUTO_D1, dtype=jnp.float32),
     )
 
 
 def _enhance_and_emit(params, mean, inv_std, state: StreamState,
-                      frame_shift: int, compute_dtype, blend: float = 0.0
-                      ) -> tuple[StreamState, jax.Array]:
+                      frame_shift: int, compute_dtype, blend: float = 0.0,
+                      smooth=0.0) -> tuple[StreamState, jax.Array]:
     """Shared back half of a step: splice -> forward -> synth -> OLA.
 
     The rings in ``state`` have already been advanced for this step.  The
@@ -160,6 +177,40 @@ def _enhance_and_emit(params, mean, inv_std, state: StreamState,
     mag = jnp.sqrt(cre * cre + cim * cim)
     power = jnp.where(enh < LOG_FLOOR, jnp.float32(np.exp(LOG_FLOOR)),
                       jnp.exp(enh))
+    if smooth:
+        # Causal analog of the batch fractional smoother (decode.py
+        # smooth_power + _smooth_auto_strength).  Deviations forced by
+        # causality, mirroring the blend EMA's design: the noise floor
+        # accumulates over the first NOISE_FRAME_NUM frames as they
+        # arrive (the batch sees all 10 before smoothing frame 1); the
+        # running-min window is {c-1, c} (no +1 lookahead — adding one
+        # would cost a hop of extra latency); the impulsiveness gate is
+        # an EMA starting OFF (batch: whole-utterance statistic).
+        from tpu_se.infer.decode import (
+            NOISE_FRAME_NUM, SM_AUTO_D0, SM_AUTO_D1, SM_AUTO_S,
+        )
+
+        fidx = state.count - 1 - half                     # center frame no.
+        power_orig = power
+        in_floor = ((fidx >= 0) & (fidx < NOISE_FRAME_NUM))[:, None]
+        noise_max = jnp.where(in_floor,
+                              jnp.maximum(state.noise_max, power),
+                              state.noise_max)
+        has_prev = (fidx >= 1)[:, None]
+        wmin = jnp.minimum(jnp.where(has_prev, state.sm_prev, power), power)
+        mask = has_prev & (power < noise_max)
+        smoothed = jnp.where(mask, wmin, power)
+        if smooth == "auto":
+            s_eff = SM_AUTO_S * jnp.clip(
+                (SM_AUTO_D1 - state.dyn_ema) / (SM_AUTO_D1 - SM_AUTO_D0),
+                0.0, 1.0)[:, None]
+        else:
+            s_eff = jnp.float32(smooth)
+        power = (1.0 - s_eff) * power + s_eff * smoothed
+        state = state._replace(
+            noise_max=noise_max,
+            sm_prev=jnp.where((fidx >= 0)[:, None], power_orig,
+                              state.sm_prev))
     scale = jnp.where(mag > 0.0, jnp.sqrt(power) / jnp.maximum(mag, 1e-30),
                       0.0)
     inv_basis = jnp.asarray(_inverse_dft_basis(frame_length, frame_length))
@@ -182,10 +233,10 @@ def _enhance_and_emit(params, mean, inv_std, state: StreamState,
 
 @functools.partial(jax.jit,
                    static_argnames=("frame_shift", "compute_dtype",
-                                    "blend"))
+                                    "blend", "smooth"))
 def _stream_step(params, mean, inv_std, state: StreamState, hop: jax.Array,
                  frame_shift: int, compute_dtype=jnp.float32,
-                 blend: float = 0.0
+                 blend: float = 0.0, smooth=0.0
                  ) -> tuple[StreamState, jax.Array]:
     """One hop in, one hop out, for all S streams."""
     ring = jnp.concatenate([state.ring[:, frame_shift:], hop], axis=1)
@@ -221,20 +272,32 @@ def _stream_step(params, mean, inv_std, state: StreamState, hop: jax.Array,
         jnp.concatenate([state.spec_ring[:, 1:], spec[:, None, :]], axis=1),
         state.spec_ring)
 
+    if smooth == "auto":
+        # Impulsiveness EMA from the NOISY input (blind, like the batch
+        # gate statistic): |Δ mean-frame-dB| between consecutive frames.
+        frame_db = jnp.mean(lps, axis=1) * jnp.float32(10.0 / np.log(10.0))
+        have_prev = frame_ready & (state.count >= 1)
+        d = jnp.abs(frame_db - state.sm_prev_db)
+        a = jnp.float32(_DYN_EMA_ALPHA)
+        dyn_ema = jnp.where(have_prev,
+                            a * state.dyn_ema + (1.0 - a) * d,
+                            state.dyn_ema)
+        sm_prev_db = jnp.where(frame_ready, frame_db, state.sm_prev_db)
+        state = state._replace(dyn_ema=dyn_ema, sm_prev_db=sm_prev_db)
     state = state._replace(
         ring=ring, lps_ring=lps_ring, spec_ring=spec_ring,
         hops=state.hops + 1,
         count=state.count + frame_ready.astype(jnp.int32))
     return _enhance_and_emit(params, mean, inv_std, state, frame_shift,
-                             compute_dtype, blend)
+                             compute_dtype, blend, smooth)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("frame_shift", "compute_dtype",
-                                    "blend"))
+                                    "blend", "smooth"))
 def _stream_scan(params, mean, inv_std, state: StreamState, hops: jax.Array,
                  frame_shift: int, compute_dtype=jnp.float32,
-                 blend: float = 0.0
+                 blend: float = 0.0, smooth=0.0
                  ) -> tuple[StreamState, jax.Array]:
     """K hops in one dispatch: ``lax.scan`` over the hop axis of
     [S, K, shift] — the chunked-streaming path that amortizes host/device
@@ -243,7 +306,7 @@ def _stream_scan(params, mean, inv_std, state: StreamState, hops: jax.Array,
 
     def body(st, hop):
         return _stream_step(params, mean, inv_std, st, hop, frame_shift,
-                            compute_dtype, blend)
+                            compute_dtype, blend, smooth)
 
     state, outs = jax.lax.scan(body, state, jnp.swapaxes(hops, 0, 1))
     return state, jnp.swapaxes(outs, 0, 1)
@@ -251,10 +314,11 @@ def _stream_scan(params, mean, inv_std, state: StreamState, hops: jax.Array,
 
 @functools.partial(jax.jit,
                    static_argnames=("frame_shift", "compute_dtype",
-                                    "blend"))
+                                    "blend", "smooth"))
 def _stream_scan_i16(params, mean, inv_std, state: StreamState,
                      hops: jax.Array, frame_shift: int,
-                     compute_dtype=jnp.float32, blend: float = 0.0
+                     compute_dtype=jnp.float32, blend: float = 0.0,
+                     smooth=0.0
                      ) -> tuple[StreamState, jax.Array]:
     """`_stream_scan` with an int16 wire: int16 hops in, int16 hops out.
 
@@ -264,16 +328,16 @@ def _stream_scan_i16(params, mean, inv_std, state: StreamState,
     input, i.e. real PCM audio)."""
     state, outs = _stream_scan(params, mean, inv_std, state,
                                hops.astype(jnp.float32), frame_shift,
-                               compute_dtype, blend)
+                               compute_dtype, blend, smooth)
     return state, jnp.trunc(outs).astype(jnp.int16)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("frame_shift", "compute_dtype",
-                                    "blend"))
+                                    "blend", "smooth"))
 def _flush_step(params, mean, inv_std, state: StreamState,
                 frame_shift: int, compute_dtype=jnp.float32,
-                blend: float = 0.0
+                blend: float = 0.0, smooth=0.0
                 ) -> tuple[StreamState, jax.Array]:
     """Drain one latency hop: re-push the newest LPS frame (right-edge
     replication, ``frame_expand.m:19-22``) without consuming input."""
@@ -284,7 +348,7 @@ def _flush_step(params, mean, inv_std, state: StreamState,
             [state.spec_ring[:, 1:], state.spec_ring[:, -1:]], axis=1),
         count=state.count + 1)
     return _enhance_and_emit(params, mean, inv_std, state, frame_shift,
-                             compute_dtype, blend)
+                             compute_dtype, blend, smooth)
 
 
 class StreamingEnhancer:
@@ -306,10 +370,23 @@ class StreamingEnhancer:
 
     def __init__(self, wts_path, norm_path, n_streams: int = 1,
                  context: int = 7, compute_dtype=jnp.float32,
-                 sample_rate: int = 16000, mesh=None, blend: float = 0.0):
+                 sample_rate: int = 16000, mesh=None, blend: float = 0.0,
+                 smooth_strength=0.0):
         from tpu_se.infer.decode import _check_blend
 
         self.blend = _check_blend(blend)
+        if isinstance(smooth_strength, str) and smooth_strength == "auto":
+            self.smooth = "auto"
+        else:
+            try:
+                ss = float(smooth_strength)
+            except (TypeError, ValueError):
+                raise ValueError(f"smooth_strength must be 'auto' or in "
+                                 f"[0, 1], got {smooth_strength!r}")
+            if not 0.0 <= ss <= 1.0:
+                raise ValueError(f"smooth_strength must be 'auto' or in "
+                                 f"[0, 1], got {smooth_strength}")
+            self.smooth = ss
         self.params = params_from_wts(read_wts(wts_path))
         dim = self.params[-1]["b"].shape[0]
         mean, inv_std = read_norm(norm_path, dim)
@@ -374,7 +451,7 @@ class StreamingEnhancer:
         self.state, out = _stream_step(
             self.params, self.mean, self.inv_std, self.state,
             self._hop_put(np.asarray(hops, dtype=np.float32)),
-            self.frame_shift, self.compute_dtype, self.blend)
+            self.frame_shift, self.compute_dtype, self.blend, self.smooth)
         self._hops += 1
         if self._hops >= self.ring_hops:
             self._pushed += 1
@@ -402,12 +479,14 @@ class StreamingEnhancer:
             self.state, outs = _stream_scan_i16(
                 self.params, self.mean, self.inv_std, self.state,
                 self._hop_put(np.asarray(hops, dtype=np.int16)),
-                self.frame_shift, self.compute_dtype, self.blend)
+                self.frame_shift, self.compute_dtype, self.blend,
+                self.smooth)
         else:
             self.state, outs = _stream_scan(
                 self.params, self.mean, self.inv_std, self.state,
                 self._hop_put(np.asarray(hops, dtype=np.float32)),
-                self.frame_shift, self.compute_dtype, self.blend)
+                self.frame_shift, self.compute_dtype, self.blend,
+                self.smooth)
         self._hops += k
         self._pushed += (max(0, self._hops - (self.ring_hops - 1))
                          - max(0, h0 - (self.ring_hops - 1)))
@@ -485,7 +564,8 @@ class StreamingEnhancer:
         for _ in range(self.half):
             self.state, out = _flush_step(
                 self.params, self.mean, self.inv_std, self.state,
-                self.frame_shift, self.compute_dtype, self.blend)
+                self.frame_shift, self.compute_dtype, self.blend,
+                self.smooth)
             self._pushed += 1
             if self._pushed - 1 - self.half >= 0:
                 yield np.asarray(out)
