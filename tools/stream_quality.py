@@ -43,8 +43,13 @@ def main() -> int:
     norm = os.path.join(ROOT, "data", "train_noisy.norm")
     wts = os.path.join(ROOT, "MLGGD1", "mlp.50.wts")
 
+    conds = CONDS
+    if "--all" in sys.argv:
+        conds = sorted({f.split("_NOISY_")[0] for f in os.listdir(demo)
+                        if "_NOISY_" in f})
+
     rows = []
-    for cond in CONDS:
+    for cond in conds:
         nw = glob.glob(os.path.join(demo, f"{cond}_NOISY_*.wav"))[0]
         cw = re.sub("_NOISY_", "_CLEAN_", nw)[:-4] + ".WAV"
         noisy, fs = read_wav(nw)
@@ -87,6 +92,13 @@ def main() -> int:
               f"pesq n/b/s={r['noisy']['pesq']}/{r['batch']['pesq']}/"
               f"{r['stream']['pesq']}", flush=True)
 
+    if "--all" in sys.argv:
+        n_pass = sum(
+            all((r["stream"][k] > r["noisy"][k]) if k != "lsd"
+                else (r["stream"][k] < r["noisy"][k])
+                for k in ("segsnr", "stoi", "lsd", "pesq"))
+            for r in rows)
+        print(f"streamed all-four-metrics pass: {n_pass}/{len(rows)}")
     out = os.path.join(ROOT, "STREAM_QUALITY.json")
     with open(out, "w") as f:
         json.dump({"arm": "MLGGD1 seed0",
