@@ -103,6 +103,11 @@ def main() -> int:
         from tpu_se.parallel import make_mesh
         from tpu_se.parallel.overlap_step import train_chunk_overlap
 
+        if args.act_dtype:
+            raise SystemExit("--step overlap does not support --act-dtype "
+                             "(the hand-written backward has no act_dtype "
+                             "path; the run would silently measure f32 "
+                             "activations)")
         mesh1 = make_mesh(1, 1, devices=[dev])
 
         def train_chunk(st, n, c, s, l, h):  # noqa: F811 — bench shim
@@ -138,6 +143,7 @@ def main() -> int:
         "metric": "train_frames_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
+        "step": args.step,
         # The reference publishes no throughput number (BASELINE.md), so
         # vs_baseline reports the fraction of the chip's bf16-MXU
         # speed-of-light for this step.  sol_frac is the honest alias;

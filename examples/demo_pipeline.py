@@ -98,7 +98,7 @@ def main() -> int:
     results = decode_files(final_wts, norm_file,
                            [n for n, _ in test_pairs], out_dir,
                            [c for _, c in test_pairs], blend="auto",
-                           smooth=True, smooth_strength="auto")
+                           smooth_strength="auto")
     for (nw, cw), r in zip(test_pairs, results):
         clean, fs = read_wav(cw)
         noisy, _ = read_wav(nw)

@@ -452,10 +452,15 @@ def test_smooth_strength_fractional_and_auto(reference_dir, tmp_path):
     d_half = np.abs(shalf - plain).max()
     assert 0 < d_half < np.abs(s1 - plain).max()
 
-    # invalid strengths rejected
-    for bad in (-0.1, 1.5, "Auto", None):
+    # invalid strengths rejected; None defers to the smooth flag
+    for bad in (-0.1, 1.5, "Auto"):
         with pytest.raises(ValueError):
             Enhancer(wts, norm, smooth=True, smooth_strength=bad)
+    np.testing.assert_allclose(
+        lps_of(smooth=True, smooth_strength=None), s1, atol=1e-6)
+    # a non-zero strength implies smoothing without the flag
+    np.testing.assert_allclose(
+        lps_of(smooth_strength=0.5), shalf, atol=1e-6)
 
     # the impulsiveness gate: stationary noise -> full strength,
     # burst train -> zero

@@ -352,3 +352,71 @@ def test_inmemory_epoch_carry_matches_disk_resume(reference_dir, tmp_path):
     c = tmp_path / "carry"
     run_training(cfg(c, 1, carry=True), log=lambda s: None)
     assert os.path.exists(str(c / "mlp.1.wts.state.npz"))
+
+
+def test_midepoch_resume_legacy_unstamped_partial(reference_dir, tmp_path):
+    """A partial checkpoint written by the pre-round-5 format (single
+    mutable mlp.N.partial.wts) must still resume after upgrade; a meta
+    whose checkpoint file is missing entirely restarts the epoch instead
+    of crashing."""
+    import os
+
+    def cfg(out):
+        return TrainConfig(
+            fea_file=str(reference_dir / "tools_pfile/train_noisy.pfile"),
+            targ_file=str(reference_dir / "tools_pfile/train_clean.pfile"),
+            norm_file=str(reference_dir / "tools_pfile/train_noisy.norm"),
+            out_dir=str(out), layersizes=(1799, 32, 257), epochs=1,
+            traincache=256, bunchsize=32, init_seed=5,
+            checkpoint_every_chunks=1, device_resident="never")
+
+    a = cfg(tmp_path / "a")
+    run_training(a, log=lambda s: None)
+    want = open(os.path.join(a.out_dir, "mlp.1.wts"), "rb").read()
+
+    import tpu_se.train.loop as loop_mod
+    b = cfg(tmp_path / "b")
+    orig = loop_mod.train_chunk
+    n = {"chunks": 0}
+
+    def bomb(*args, **k):
+        n["chunks"] += 1
+        if n["chunks"] == 3:
+            raise KeyboardInterrupt("simulated crash")
+        return orig(*args, **k)
+
+    loop_mod.train_chunk = bomb
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            run_training(b, log=lambda s: None)
+    finally:
+        loop_mod.train_chunk = orig
+
+    # Downgrade the stamped partial to the legacy unstamped layout.
+    stem = os.path.join(b.out_dir, "mlp.1.partial")
+    import glob as g
+    stamped = [p for p in g.glob(stem + ".*.wts") if ".wts" in p]
+    assert stamped, os.listdir(b.out_dir)
+    os.replace(stamped[0], stem + ".wts")
+    side = stamped[0] + ".state.npz"
+    if os.path.exists(side):
+        os.replace(side, stem + ".wts.state.npz")
+
+    seen = []
+    run_training(b, log=seen.append)
+    assert any("resuming mid-epoch" in s for s in seen), seen
+    got = open(os.path.join(b.out_dir, "mlp.1.wts"), "rb").read()
+    assert got == want
+
+    # Meta present but NO checkpoint file at all: restart, don't crash.
+    c = cfg(tmp_path / "c")
+    os.makedirs(c.out_dir, exist_ok=True)
+    import json
+    with open(os.path.join(c.out_dir, "mlp.1.partial.wts.meta.json"),
+              "w") as f:
+        json.dump({"epoch": 1, "chunks_done": 2}, f)
+    seen = []
+    run_training(c, log=seen.append)
+    assert any("restarting epoch" in s for s in seen), seen
+    got = open(os.path.join(c.out_dir, "mlp.1.wts"), "rb").read()
+    assert got == want

@@ -89,8 +89,7 @@ def main() -> int:
             wts = os.path.join(ROOT, seed, arm, "mlp.50.wts")
             for s in strengths:
                 enh = Enhancer(wts, norm, blend="auto",
-                               smooth=s == "auto" or s > 0,
-                               smooth_strength=s or 1.0)
+                               smooth_strength=s)
                 for cond in conds:
                     clean, noisy, fs = pairs[cond]
                     row = {"seed": seed or "s0", "arm": arm,

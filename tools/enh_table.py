@@ -67,9 +67,7 @@ def main() -> int:
         blend = args.blend if args.blend == "auto" else float(args.blend)
         ss = args.smooth_strength
         ss = ss if ss == "auto" else float(ss)
-        arms[a] = Enhancer(wts, norm, blend=blend,
-                           smooth=ss == "auto" or ss > 0,
-                           smooth_strength=ss or 1.0)
+        arms[a] = Enhancer(wts, norm, blend=blend, smooth_strength=ss)
 
     rows = []
     n_improved = {a: {"segsnr": 0, "stoi": 0, "lsd": 0, "pesq": 0}

@@ -57,7 +57,7 @@ def main() -> int:
         t = min(len(noisy), len(clean))
         clean, noisy = clean[:t], noisy[:t]
 
-        batch = Enhancer(wts, norm, blend="auto", smooth=True,
+        batch = Enhancer(wts, norm, blend="auto",
                          smooth_strength="auto").enhance(noisy)[0]
         s = StreamingEnhancer(wts, norm, blend="auto",
                               smooth_strength="auto")

@@ -313,10 +313,8 @@ def cmd_decode(args) -> int:
         for path in wavs:
             noisy, sr = read_wav(path)
             ss = args.smooth_strength
-            if args.smooth and ss == 1.0:
+            if ss is None and args.smooth:
                 ss = 1.0          # binary smoothing, causal analog
-            elif not args.smooth and ss == 1.0:
-                ss = 0.0          # smoothing off unless requested
             s = StreamingEnhancer(args.wts, args.norm, sample_rate=sr,
                                   blend=args.blend, smooth_strength=ss)
             pieces = []
@@ -338,11 +336,9 @@ def cmd_decode(args) -> int:
 
         mesh = make_mesh(args.mesh_data, 1)
     sample_rate = {8: 8000, 11: 11025, 16: 16000}[args.fs]
-    smooth = args.smooth or args.smooth_strength == "auto" \
-        or args.smooth_strength < 1.0
     decode_files(args.wts, args.norm, wavs, args.out_dir, cleans, mesh=mesh,
                  noisy_info=args.ni, batch_size=args.batch,
-                 postprocess=args.postprocess, smooth=smooth,
+                 postprocess=args.postprocess, smooth=args.smooth,
                  smooth_strength=args.smooth_strength,
                  sample_rate=sample_rate, blend=args.blend)
     return 0
@@ -509,13 +505,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="residual-noise running-min smoothing "
                         "(LogSpec2Wav_be SMOOTHPROCESS build, "
                         "LogSpec2Wav.c:497-546)")
-    s.add_argument("--smooth-strength", type=_blend_arg, default=1.0,
+    s.add_argument("--smooth-strength", type=_blend_arg, default=None,
                    help="fractional smoothing: power mix between plain "
                         "and smoothed spectra (1.0 = the reference's "
-                        "binary option), or 'auto' for the impulsiveness-"
-                        "gated strength — with --blend auto this passes "
-                        "all four metrics on all 14 demo conditions "
-                        "(tpu_se extension; implies --smooth)")
+                        "binary option, 0 = off), or 'auto' for the "
+                        "impulsiveness-gated strength — with --blend auto "
+                        "this passes all four metrics on all 14 demo "
+                        "conditions (tpu_se extension; any non-zero "
+                        "strength implies --smooth)")
     s.add_argument("--blend", type=_blend_arg, default=0.0,
                    help="suppression-depth limiter: interpolate the "
                         "enhanced LPS this fraction toward the noisy LPS "
@@ -543,10 +540,12 @@ def _setup_compilation_cache() -> None:
                            os.path.expanduser("~/.cache/tpu_se_jax"))
     if not cache:
         return
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # Via env vars, NOT jax.config: importing jax here would make every
+    # pure-IO command (make-pfile, pfile-info, ...) pay the multi-second
+    # jax import this module deliberately defers into the cmd_* bodies.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                          "0.5")
 
 
 def main(argv=None) -> int:

@@ -48,6 +48,29 @@ BLEND_AUTO_TAU_DB = 20.0
 BLEND_AUTO_MAX = 0.9
 
 
+def _check_smooth_strength(strength, smooth_flag: bool = False):
+    """Resolve a smoothing-strength setting to 0.0 (off), (0, 1], or 'auto'.
+
+    ``strength=None`` defers to the binary ``smooth`` flag (the
+    reference's compile-time SMOOTHPROCESS: on means s=1).  A non-zero
+    strength turns smoothing on by itself; 0 turns it off even when
+    ``smooth_flag`` is set.
+    """
+    if strength is None:
+        return 1.0 if smooth_flag else 0.0
+    if isinstance(strength, str) and strength == "auto":
+        return "auto"
+    try:
+        val = float(strength)
+    except (TypeError, ValueError):
+        raise ValueError(f"smooth_strength must be 'auto' or in [0, 1], "
+                         f"got {strength!r}")
+    if not 0.0 <= val <= 1.0:
+        raise ValueError(f"smooth_strength must be 'auto' or in [0, 1], "
+                         f"got {strength!r}")
+    return val
+
+
 def _check_blend(blend):
     """Validate a blend setting: 'auto' or a numeric value in [0, 1)."""
     if isinstance(blend, str) and blend == "auto":
@@ -260,7 +283,7 @@ class Enhancer:
 
     def __init__(self, wts_path, norm_path, context: int = 7,
                  compute_dtype=jnp.float32, postprocess: bool = False,
-                 smooth: bool = False, smooth_strength: float = 1.0,
+                 smooth: bool = False, smooth_strength=None,
                  mesh=None, sample_rate: int = 16000,
                  blend: float = 0.0):
         from tpu_se.dsp.analysis import rate_config
@@ -279,25 +302,17 @@ class Enhancer:
         self.context = context
         self.compute_dtype = compute_dtype
         self.postprocess = postprocess
-        self.smooth = smooth
         # Fractional SMOOTHPROCESS: power_out = (1-s)*power + s*smoothed.
         # s=1 is the reference's binary option (LogSpec2Wav.c:497-546);
         # intermediate s trades its musical-noise removal (PESQ up)
         # against its temporal smearing (SegSNR down) continuously;
         # "auto" picks s per utterance via the impulsiveness gate
-        # (_smooth_auto_strength above).
-        if isinstance(smooth_strength, str) and smooth_strength == "auto":
-            self.smooth_strength = "auto"
-        else:
-            try:
-                smooth_strength = float(smooth_strength)
-            except (TypeError, ValueError):
-                raise ValueError(f"smooth_strength must be 'auto' or in "
-                                 f"[0, 1], got {smooth_strength!r}")
-            if not 0.0 <= smooth_strength <= 1.0:
-                raise ValueError(f"smooth_strength must be 'auto' or in "
-                                 f"[0, 1], got {smooth_strength}")
-            self.smooth_strength = smooth_strength
+        # (_smooth_auto_strength above).  A non-zero strength implies
+        # smoothing by itself; strength 0 means OFF; smooth=True alone is
+        # the binary reference option (s=1).
+        self.smooth_strength = _check_smooth_strength(smooth_strength,
+                                                      smooth)
+        self.smooth = self.smooth_strength != 0.0
         self.blend = _check_blend(blend)
         self.mesh = mesh
         if mesh is not None:
@@ -497,7 +512,7 @@ def decode_files(wts_path, norm_path, wav_paths: list, out_dir,
                  clean_paths: list | None = None, log=print,
                  mesh=None, noisy_info: bool = False,
                  batch_size: int = 0, postprocess: bool = False,
-                 smooth: bool = False, smooth_strength=1.0,
+                 smooth: bool = False, smooth_strength=None,
                  sample_rate: int = 16000,
                  blend: float = 0.0) -> list[dict]:
     """decode.m batch loop: enhance each wav, write *_enhanced.wav + info.

@@ -371,22 +371,13 @@ class StreamingEnhancer:
     def __init__(self, wts_path, norm_path, n_streams: int = 1,
                  context: int = 7, compute_dtype=jnp.float32,
                  sample_rate: int = 16000, mesh=None, blend: float = 0.0,
-                 smooth_strength=0.0):
-        from tpu_se.infer.decode import _check_blend
+                 smooth_strength=None):
+        from tpu_se.infer.decode import _check_blend, _check_smooth_strength
 
         self.blend = _check_blend(blend)
-        if isinstance(smooth_strength, str) and smooth_strength == "auto":
-            self.smooth = "auto"
-        else:
-            try:
-                ss = float(smooth_strength)
-            except (TypeError, ValueError):
-                raise ValueError(f"smooth_strength must be 'auto' or in "
-                                 f"[0, 1], got {smooth_strength!r}")
-            if not 0.0 <= ss <= 1.0:
-                raise ValueError(f"smooth_strength must be 'auto' or in "
-                                 f"[0, 1], got {smooth_strength}")
-            self.smooth = ss
+        # Same resolution as the batch Enhancer: non-zero strength turns
+        # the (causal) smoother on by itself; None/0 = off.
+        self.smooth = _check_smooth_strength(smooth_strength)
         self.params = params_from_wts(read_wts(wts_path))
         dim = self.params[-1]["b"].shape[0]
         mean, inv_std = read_norm(norm_path, dim)

@@ -16,7 +16,6 @@ cols=n_out.  Our in-memory convention is W[n_in, n_out] so the forward pass is
 
 from __future__ import annotations
 
-import os
 import struct
 
 import numpy as np
@@ -58,27 +57,19 @@ def write_wts(path, layers: list[dict]) -> None:
     kill mid-write must never leave a truncated file under the final name
     — the reference binary has exactly that hole; we close it.
     """
-    path = os.fspath(path)
-    tmp = f"{path}.tmp.{os.getpid()}"
-    try:
-        with open(tmp, "wb") as f:
-            for i, layer in enumerate(layers):
-                w = np.asarray(layer["w"], dtype=np.float32)
-                b = np.asarray(layer["b"], dtype=np.float32).reshape(-1)
-                n_in, n_out = w.shape
-                if b.shape[0] != n_out:
-                    raise ValueError(f"layer {i}: bias/weight shape mismatch")
-                _write_record(f, f"weights{i+1}{i+2}", w.T.reshape(n_out, n_in))
-                _write_record(f, f"bias{i+2}", b.reshape(1, n_out))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
-    except BaseException:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        raise
+    from tpu_se.io.atomic import atomic_write
+
+    def body(f):
+        for i, layer in enumerate(layers):
+            w = np.asarray(layer["w"], dtype=np.float32)
+            b = np.asarray(layer["b"], dtype=np.float32).reshape(-1)
+            n_in, n_out = w.shape
+            if b.shape[0] != n_out:
+                raise ValueError(f"layer {i}: bias/weight shape mismatch")
+            _write_record(f, f"weights{i+1}{i+2}", w.T.reshape(n_out, n_in))
+            _write_record(f, f"bias{i+2}", b.reshape(1, n_out))
+
+    atomic_write(path, body)
 
 
 def _write_record(f, name: str, data: np.ndarray) -> None:

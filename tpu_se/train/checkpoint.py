@@ -41,23 +41,11 @@ def save_checkpoint(path_wts: str, state: TrainState,
         arrays[f"vel_w_{i}"] = np.asarray(l["w"])
         arrays[f"vel_b_{i}"] = np.asarray(l["b"])
     arrays["alpha"] = np.asarray(state.alpha)
-    # Atomic like write_wts (flush+fsync before rename, unlink tmp on error):
-    # a crash mid-write must not leave a truncated sidecar that
-    # load_checkpoint would then try to restore.
-    spath = _state_path(path_wts)
-    tmp = f"{spath}.tmp.{os.getpid()}.npz"
-    try:
-        with open(tmp, "wb") as f:
-            np.savez(f, **arrays)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, spath)
-    except BaseException:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        raise
+    # Atomic like write_wts: a crash mid-write must not leave a truncated
+    # sidecar that load_checkpoint would then try to restore.
+    from tpu_se.io.atomic import atomic_write
+
+    atomic_write(_state_path(path_wts), lambda f: np.savez(f, **arrays))
 
 
 def load_checkpoint(path_wts: str) -> TrainState:

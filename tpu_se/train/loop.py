@@ -394,9 +394,21 @@ def run_training(cfg: TrainConfig, log=print) -> str:
                 meta = json.load(f)
             if meta.get("epoch") == epoch:
                 start_chunk = int(meta["chunks_done"])
-                state = load_checkpoint(f"{partial_stem}.{start_chunk}.wts")
-                log(f"epoch {epoch}: resuming mid-epoch at chunk "
-                    f"{start_chunk} from {partial_stem}.{start_chunk}.wts")
+                pp = f"{partial_stem}.{start_chunk}.wts"
+                if not os.path.exists(pp) and \
+                        os.path.exists(f"{partial_stem}.wts"):
+                    # Partial written by the pre-round-5 unstamped format
+                    # (single mutable mlp.N.partial.wts): honor it so an
+                    # upgrade mid-run still resumes.
+                    pp = f"{partial_stem}.wts"
+                if os.path.exists(pp):
+                    state = load_checkpoint(pp)
+                    log(f"epoch {epoch}: resuming mid-epoch at chunk "
+                        f"{start_chunk} from {pp}")
+                else:
+                    start_chunk = 0
+                    log(f"epoch {epoch}: partial meta found but no "
+                        f"checkpoint file; restarting epoch")
 
         def _partial_files():
             import glob
@@ -407,22 +419,13 @@ def run_training(cfg: TrainConfig, log=print) -> str:
             import json
             if not is_main:
                 return
+            from tpu_se.io.atomic import atomic_write
+
             pp = f"{_stem}.{chunks_done}.wts"
             save_checkpoint(pp, st)
-            tmp = f"{_mp}.tmp.{os.getpid()}"
-            try:
-                with open(tmp, "w") as f:
-                    json.dump({"epoch": _epoch,
-                               "chunks_done": chunks_done}, f)
-                    f.flush()
-                    os.fsync(f.fileno())
-                os.replace(tmp, _mp)       # commit point
-            except BaseException:
-                try:
-                    os.unlink(tmp)
-                except OSError:
-                    pass
-                raise
+            atomic_write(_mp, lambda f: json.dump(
+                {"epoch": _epoch, "chunks_done": chunks_done}, f),
+                mode="w")   # the rename is the commit point
             # Older stamped partials are garbage once the new meta commits.
             for p in _partial_files():
                 if (not p.endswith(".meta.json")
