@@ -169,3 +169,34 @@ def test_make_pfile_jobs_identical(tmp_path):
         (tmp_path / "j4.pfile").read_bytes()
     assert (tmp_path / "j1.len").read_text() == \
         (tmp_path / "j4.len").read_text()
+
+
+def test_lps_extract_jobs_identical(tmp_path):
+    """lps-extract --jobs N writes byte-identical .lps files to serial."""
+    import wave as wave_mod
+
+    rng = np.random.default_rng(4)
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"w{i}.wav"
+        with wave_mod.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes((rng.normal(size=8000 + 512 * i) * 3000)
+                          .astype("<i2").tobytes())
+        paths.append(str(p))
+    scp = tmp_path / "w.scp"
+    scp.write_text("\n".join(paths) + "\n")
+
+    r1 = _cli("lps-extract", "--scp", str(scp))
+    assert r1.returncode == 0, r1.stderr
+    serial = {p: (tmp_path / f"w{i}.lps").read_bytes()
+              for i, p in enumerate(paths)}
+    for i in range(4):
+        (tmp_path / f"w{i}.lps").unlink()
+
+    r2 = _cli("lps-extract", "--scp", str(scp), "--jobs", "3")
+    assert r2.returncode == 0, r2.stderr
+    for i, p in enumerate(paths):
+        assert (tmp_path / f"w{i}.lps").read_bytes() == serial[p]
