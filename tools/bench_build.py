@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Measure the parallel corpus-build speedup (VERDICT r4 #7).
+
+The reference packers fork across scp shards (``tools_pfile/
+pfile_noisy.pl:28-36``, ``GetLenForFeaScp.pl:11-27``); tpu_se's
+``lps-extract --scp --jobs N`` and ``make-pfile --jobs N`` provide the
+same file-level parallelism with a thread pool (numpy + the jit'd LPS
+GEMM release the GIL).  This tool times serial vs --jobs on a synthetic
+multi-file scp and asserts byte-identical outputs, writing
+benchmarks/build_parallel.json.
+
+CPU: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/bench_build.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+import wave as wave_mod
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tpu_se.dsp import wav_to_lps
+    from tpu_se.io import read_htk, read_wav, write_htk
+    from tpu_se.io.pfile import PfileWriter
+
+    n_wavs = int(sys.argv[sys.argv.index("--wavs") + 1]) \
+        if "--wavs" in sys.argv else 48
+    secs = 30
+    jobs = os.cpu_count() or 2
+    rng = np.random.default_rng(0)
+    rec = {"n_wavs": n_wavs, "jobs": jobs, "seconds_per_wav": secs,
+           "note": ("In-process timing of the parallel sections (CLI "
+                    "startup excluded). This host has 2 CPUs and XLA's "
+                    "CPU backend already multi-threads the LPS GEMM "
+                    "intra-op, so the thread-pool win here is bounded; "
+                    "the fork-level parallelism pays off on many-core "
+                    "build hosts, as the reference's nSplit fork did.")}
+
+    with tempfile.TemporaryDirectory() as d:
+        paths = []
+        for i in range(n_wavs):
+            p = os.path.join(d, f"u{i:03d}.wav")
+            with wave_mod.open(p, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes((rng.normal(size=16000 * secs) * 3000)
+                              .astype("<i2").tobytes())
+            paths.append(p)
+
+        def extract(p):
+            wave, sr = read_wav(p)
+            lps = np.asarray(wav_to_lps(wave, sample_rate=sr))
+            write_htk(p[:-4] + ".lps", lps)
+            return p
+
+        extract(paths[0])                       # warm the jit caches
+        t0 = time.perf_counter()
+        for p in paths:
+            extract(p)
+        t_serial = time.perf_counter() - t0
+        serial_lps = {p: open(p[:-4] + ".lps", "rb").read() for p in paths}
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            list(pool.map(extract, paths))
+        t_jobs = time.perf_counter() - t0
+        for p in paths:
+            assert open(p[:-4] + ".lps", "rb").read() == serial_lps[p], p
+        rec["lps_extract"] = {
+            "serial_s": round(t_serial, 2), "jobs_s": round(t_jobs, 2),
+            "speedup": round(t_serial / t_jobs, 2),
+            "outputs_identical": True}
+
+        lps_paths = [p[:-4] + ".lps" for p in paths]
+        pf1, pf2 = os.path.join(d, "a.pfile"), os.path.join(d, "b.pfile")
+
+        t0 = time.perf_counter()
+        with PfileWriter(pf1) as w:
+            for lp in lps_paths:
+                w.add(read_htk(lp)[0])
+        t_serial = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            pending = {}
+            window = 2 * jobs
+
+            def get(i):
+                for j in range(i, min(i + window, len(lps_paths))):
+                    if j not in pending:
+                        pending[j] = pool.submit(
+                            lambda q: read_htk(q)[0], lps_paths[j])
+                return pending.pop(i).result()
+
+            with PfileWriter(pf2) as w:
+                for i in range(len(lps_paths)):
+                    w.add(get(i))
+        t_jobs = time.perf_counter() - t0
+        assert open(pf1, "rb").read() == open(pf2, "rb").read()
+        rec["make_pfile"] = {
+            "serial_s": round(t_serial, 2), "jobs_s": round(t_jobs, 2),
+            "speedup": round(t_serial / t_jobs, 2),
+            "outputs_identical": True}
+
+    out = os.path.join(REPO, "benchmarks", "build_parallel.json")
+    with open(out, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec, indent=1))
+    print(f"-> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
