@@ -200,3 +200,55 @@ def test_lps_extract_jobs_identical(tmp_path):
     assert r2.returncode == 0, r2.stderr
     for i, p in enumerate(paths):
         assert (tmp_path / f"w{i}.lps").read_bytes() == serial[p]
+
+
+def test_pfile_writer_abort_leaves_no_file(tmp_path):
+    """An aborted build (exception mid-stream) must leave NOTHING under the
+    final name — presence implies completeness for resume-by-existence
+    build scripts — and a completed build replaces atomically."""
+    rng = np.random.default_rng(1)
+    target = tmp_path / "out.pfile"
+    with pytest.raises(RuntimeError):
+        with PfileWriter(target) as w:
+            w.add(rng.normal(size=(5, 3)).astype(np.float32))
+            raise RuntimeError("unreadable utterance")
+    assert not target.exists()
+    assert not list(tmp_path.glob("*.tmp.*"))
+
+    # empty build: ValueError, and still nothing left behind
+    with pytest.raises(ValueError):
+        with PfileWriter(target) as w:
+            pass
+    assert not target.exists()
+    assert not list(tmp_path.glob("*.tmp.*"))
+
+    with PfileWriter(target) as w:
+        w.add(rng.normal(size=(5, 3)).astype(np.float32))
+    assert target.exists()
+
+
+def test_concat_renumbers_noncanonical_ids(tmp_path):
+    """Inputs whose sent/frame id columns are NOT canonical still concat to
+    canonical output (the in-memory decode-and-rewrite behavior)."""
+    rng = np.random.default_rng(2)
+    utts = [rng.normal(size=(4, 3)).astype(np.float32),
+            rng.normal(size=(6, 3)).astype(np.float32)]
+    src = tmp_path / "weird.pfile"
+    write_pfile(src, utts)
+    # corrupt the id columns: sent ids 7/9, frame ids reversed
+    raw = bytearray(src.read_bytes())
+    rows = np.frombuffer(bytes(raw), dtype=">i4",
+                         offset=32768, count=10 * 5).reshape(10, 5).copy()
+    rows[:4, 0], rows[4:, 0] = 7, 9
+    rows[:, 1] = rows[::-1, 1]
+    raw[32768:32768 + 10 * 5 * 4] = rows.tobytes()
+    src.write_bytes(bytes(raw))
+
+    concat_pfiles(tmp_path / "cat.pfile", [src, src])
+    pf = read_pfile(tmp_path / "cat.pfile")
+    np.testing.assert_array_equal(pf.sent_ids,
+                                  [0] * 4 + [1] * 6 + [2] * 4 + [3] * 6)
+    np.testing.assert_array_equal(
+        pf.frame_ids, list(range(4)) + list(range(6)) + list(range(4))
+        + list(range(6)))
+    np.testing.assert_array_equal(pf.sentence(2), utts[0])

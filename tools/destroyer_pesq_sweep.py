@@ -81,7 +81,13 @@ def main() -> int:
         noisy, fs = read_wav(nw)
         clean, _ = read_wav(cw)
         t = min(len(noisy), len(clean))
-        pairs[cond] = (clean[:t], noisy[:t], fs)
+        clean, noisy = clean[:t], noisy[:t]
+        # noisy baselines depend only on the condition — score once here,
+        # not per seed x arm x strength.
+        nz = {"stoi": round(float(stoi(clean, noisy, fs)), 4),
+              "pesq": round(float(pesq_score(
+                  clean, noisy.astype(np.float64), fs)), 3)}
+        pairs[cond] = (clean, noisy, fs, nz)
 
     results = []
     for seed in args.seeds.split(","):
@@ -91,13 +97,11 @@ def main() -> int:
                 enh = Enhancer(wts, norm, blend="auto",
                                smooth_strength=s)
                 for cond in conds:
-                    clean, noisy, fs = pairs[cond]
+                    clean, noisy, fs, nz = pairs[cond]
                     row = {"seed": seed or "s0", "arm": arm,
                            "strength": s, "condition": cond,
                            **score_pair(clean, noisy, enh, fs)}
-                    nz_stoi = round(float(stoi(clean, noisy, fs)), 4)
-                    nz_pesq = round(float(pesq_score(
-                        clean, noisy.astype(np.float64), fs)), 3)
+                    nz_stoi, nz_pesq = nz["stoi"], nz["pesq"]
                     row["noisy_stoi"] = nz_stoi
                     row["noisy_pesq"] = nz_pesq
                     row["passes_all4"] = (

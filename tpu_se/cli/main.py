@@ -77,6 +77,7 @@ def cmd_make_pfile(args) -> int:
     """
     from tpu_se.io import read_htk
     from tpu_se.io.pfile import PfileWriter
+    from tpu_se.io.readahead import ordered_readahead
 
     paths = _read_scp(args.scp)
     desired = None
@@ -85,53 +86,27 @@ def cmd_make_pfile(args) -> int:
         if len(desired) != len(paths):
             raise SystemExit("deslenfile/scp count mismatch")
 
-    if args.jobs > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        pool = ThreadPoolExecutor(max_workers=args.jobs)
-        # Bounded read-ahead keeps memory O(jobs) utterances.
-        pending = {}
-        window = 2 * args.jobs
-
-        def fetch(i):
-            if i < len(paths) and i not in pending:
-                pending[i] = pool.submit(lambda p: read_htk(p)[0], paths[i])
-
-        def get(i):
-            for j in range(i, min(i + window, len(paths))):
-                fetch(j)
-            return pending.pop(i).result()
-    else:
-        pool = None
-
-        def get(i):
-            return read_htk(paths[i])[0]
-
     lengths = []
-    try:
-        with PfileWriter(args.out) as w:
-            for i, p in enumerate(paths):
-                u = get(i)
-                t = u.shape[0]
-                # GetLenForFeaScp.pl:57-67 warns on implausibly short/long
-                # utterances (< 300 ms or > 30 s at the 16 ms frame shift).
-                if t < 300 // 16:
-                    print(f"warning: {p}: only {t} frames (< 300 ms)",
-                          file=sys.stderr)
-                elif t > 30000 // 16:
-                    print(f"warning: {p}: {t} frames (> 30 s)",
-                          file=sys.stderr)
-                # --lenfile records the raw .lps frame count (pre-truncation),
-                # like GetLenForFeaScp.pl:52 measuring the file itself.
-                lengths.append(t)
-                if desired is not None:
-                    u = u[:desired[i]]
-                w.add(u)
-            print(f"{w.num_sentences} sentences, {w.num_frames} frames "
-                  f"-> {args.out}")
-    finally:
-        if pool is not None:
-            pool.shutdown(wait=False, cancel_futures=True)
+    with PfileWriter(args.out) as w:
+        utts = ordered_readahead(paths, lambda p: read_htk(p)[0], args.jobs)
+        for i, (p, u) in enumerate(zip(paths, utts)):
+            t = u.shape[0]
+            # GetLenForFeaScp.pl:57-67 warns on implausibly short/long
+            # utterances (< 300 ms or > 30 s at the 16 ms frame shift).
+            if t < 300 // 16:
+                print(f"warning: {p}: only {t} frames (< 300 ms)",
+                      file=sys.stderr)
+            elif t > 30000 // 16:
+                print(f"warning: {p}: {t} frames (> 30 s)",
+                      file=sys.stderr)
+            # --lenfile records the raw .lps frame count (pre-truncation),
+            # like GetLenForFeaScp.pl:52 measuring the file itself.
+            lengths.append(t)
+            if desired is not None:
+                u = u[:desired[i]]
+            w.add(u)
+        print(f"{w.num_sentences} sentences, {w.num_frames} frames "
+              f"-> {args.out}")
     if args.lenfile:
         with open(args.lenfile, "w") as f:
             for t in lengths:

@@ -15,6 +15,7 @@ reference reader ``Train_code_ML_GGD/Interface.cc:519-585,988-1024``):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -159,7 +160,15 @@ class PfileWriter:
     """
 
     def __init__(self, path):
-        self._f = open(path, "wb")
+        # Atomic like every checkpoint-class file (tpu_se/io/atomic.py):
+        # rows stream into a tmp name; close() finalizes, fsyncs and
+        # renames.  An aborted build (unreadable utterance, kill) must not
+        # leave a zero-headered partial archive under the final name —
+        # presence-implies-completeness is what resume-by-existence build
+        # scripts key on.
+        self._path = os.fspath(path)
+        self._tmp = f"{self._path}.tmp.{os.getpid()}"
+        self._f = open(self._tmp, "wb")
         self._f.write(b"\0" * PFILE_HEADER_SIZE)
         self._dim = None
         self._ends: list[int] = []
@@ -192,20 +201,31 @@ class PfileWriter:
         self._ends.append(self._cum)
 
     def add_raw_rows(self, raw: bytes | np.ndarray, dim: int,
-                     sent_id_offset: int = 0) -> None:
-        """Append pre-encoded BE rows (int32 sent, int32 frame, D float32),
-        remapping the sentence-id column by ``sent_id_offset`` — the
-        streaming concat fast path (no float decode/re-encode)."""
+                     sent_ids: np.ndarray | None = None,
+                     frame_ids: np.ndarray | None = None) -> None:
+        """Append pre-encoded BE rows (int32 sent, int32 frame, D float32)
+        — the streaming concat fast path (no float decode/re-encode).
+
+        ``sent_ids``/``frame_ids`` overwrite the two id columns (on an
+        internal copy — the caller's array is never mutated); omitted, the
+        input ids pass through verbatim."""
         if self._dim is None:
             self._dim = dim
         elif dim != self._dim:
             raise ValueError("inconsistent feature dims across inputs")
         ncol = 2 + dim
-        rows = np.frombuffer(raw, dtype=">i4").reshape(-1, ncol).copy() \
-            if not isinstance(raw, np.ndarray) else raw
-        if sent_id_offset:
-            rows[:, 0] = (rows[:, 0].astype(np.int64)
-                          + sent_id_offset).astype(">i4")
+        if isinstance(raw, np.ndarray):
+            rows = np.ascontiguousarray(raw).view(">i4").reshape(-1, ncol)
+        else:
+            rows = np.frombuffer(raw, dtype=">i4").reshape(-1, ncol)
+        if sent_ids is not None or frame_ids is not None:
+            rows = rows.copy()
+            if sent_ids is not None:
+                rows[:, 0] = np.asarray(sent_ids, dtype=np.int64) \
+                    .astype(">i4")
+            if frame_ids is not None:
+                rows[:, 1] = np.asarray(frame_ids, dtype=np.int64) \
+                    .astype(">i4")
         self._f.write(rows.tobytes())
 
     def end_raw_sentences(self, lengths) -> None:
@@ -214,19 +234,33 @@ class PfileWriter:
             self._cum += int(t)
             self._ends.append(self._cum)
 
+    def abort(self) -> None:
+        """Discard the build: close and remove the tmp file; the final
+        path is left exactly as it was."""
+        if self._f is None:
+            return
+        self._f.close()
+        self._f = None
+        try:
+            os.unlink(self._tmp)
+        except OSError:
+            pass
+
     def close(self) -> None:
         if self._f is None:
             return
         if not self._ends:
-            self._f.close()
-            self._f = None
+            self.abort()
             raise ValueError("no utterances")
         table = np.concatenate([[0], self._ends]).astype(">i4")
         self._f.write(table.tobytes())
         self._f.seek(0)
         self._f.write(_pfile_header(len(self._ends), self._cum, self._dim))
+        self._f.flush()
+        os.fsync(self._f.fileno())
         self._f.close()
         self._f = None
+        os.replace(self._tmp, self._path)
 
     def __enter__(self):
         return self
@@ -234,9 +268,8 @@ class PfileWriter:
     def __exit__(self, exc_type, exc, tb):
         if exc_type is None:
             self.close()
-        elif self._f is not None:
-            self._f.close()
-            self._f = None
+        else:
+            self.abort()
         return False
 
 
@@ -248,22 +281,31 @@ def concat_pfiles(out_path, in_paths: list) -> None:
     """Merge pfiles sentence-wise (QuickNet ``pfile_concat`` equivalent,
     ``tools_pfile/pfile_noisy.pl:46``).
 
-    Streaming: rows are copied in ~16 MB blocks with only the sentence-id
-    column remapped — O(block) memory regardless of archive size.
+    Streaming: rows are copied in ~16 MB blocks with only the two id
+    columns rewritten — O(block) memory regardless of archive size.  The
+    id columns are renumbered canonically (sent 0..n-1, frame 0..T_i-1
+    per sentence) from each input's sentence table, like the in-memory
+    decode-and-rewrite did, so inputs with nonstandard id columns still
+    produce canonical output.
     """
     with PfileWriter(out_path) as w:
         sent_off = 0
         for p in in_paths:
             n_sents, n_frames, dim, ends = read_pfile_meta(p)
             ncol = 2 + dim
+            ends64 = ends.astype(np.int64)
+            starts = np.concatenate([[0], ends64[:-1]])
             with open(p, "rb") as f:
                 f.seek(PFILE_HEADER_SIZE)
                 done = 0
                 while done < n_frames:
                     n = min(STREAM_BLOCK_FRAMES, n_frames - done)
                     raw = f.read(n * ncol * 4)
-                    rows = np.frombuffer(raw, dtype=">i4").reshape(n, ncol)
-                    w.add_raw_rows(rows.copy(), dim, sent_id_offset=sent_off)
+                    idx = np.arange(done, done + n, dtype=np.int64)
+                    sent = np.searchsorted(ends64, idx, side="right")
+                    w.add_raw_rows(raw, dim,
+                                   sent_ids=sent + sent_off,
+                                   frame_ids=idx - starts[sent])
                     done += n
             w.end_raw_sentences(np.diff(np.concatenate([[0], ends])))
             sent_off += n_sents

@@ -183,6 +183,11 @@ def train_chunk_overlap(state: TrainState, noisy: jax.Array,
     """
     if hyper.dropout is not None:
         raise NotImplementedError("overlap step does not support dropout")
+    if hyper.act_dtype is not None:
+        raise NotImplementedError(
+            "overlap step does not support act_dtype (the hand-written "
+            "backward keeps f32 activations; silently accepting it would "
+            "measure a different program than train_chunk)")
     if mesh is None:
         params, velocity, alpha = _chunk_body(
             state.params, state.velocity, state.alpha, noisy, clean,
