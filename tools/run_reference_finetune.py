@@ -46,30 +46,36 @@ import time
 REF_SCRIPT = "/root/reference/Train_code_ML_GGD/finetune.pl"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The three allowed patches: exact original line -> replacement.
-PATCHES = {
+# The allowed patches: exact original line -> replacement.  The loop-bound
+# patch (epochs 50 -> 12) is dropped in --full mode, where the script runs
+# its complete 50-process schedule byte-identical except $exe/$ROOT_DIR.
+PATCHES_BASE = {
     'my $ROOT_DIR = "..";':
         'my $ROOT_DIR = "/root/reference";',
     '\tmy $exe \t\t\t\t\t\t= "./BPtrain_Sigmoid";':
         '\tmy $exe \t\t\t\t\t\t= "python -m tpu_se bptrain";',
+}
+PATCH_EPOCHS = {
     '\tfor($i= 11;$i <= 50;$i++){':
         '\tfor($i= 11;$i <= 12;$i++){',
 }
 
 
-def patched_script() -> str:
+def patched_script(full: bool) -> str:
+    patches = dict(PATCHES_BASE) if full else {**PATCHES_BASE,
+                                               **PATCH_EPOCHS}
     with open(REF_SCRIPT) as f:
         lines = f.read().split("\n")
     n_patched = 0
     out = []
     for line in lines:
-        if line in PATCHES:
-            out.append(PATCHES[line])
+        if line in patches:
+            out.append(patches[line])
             n_patched += 1
         else:
             out.append(line)
-    assert n_patched == len(PATCHES), \
-        f"expected {len(PATCHES)} patched lines, matched {n_patched} " \
+    assert n_patched == len(patches), \
+        f"expected {len(patches)} patched lines, matched {n_patched} " \
         "(reference script text changed?)"
     return "\n".join(out)
 
@@ -106,6 +112,9 @@ def main() -> int:
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--epochs", type=int, default=12,
                     help="must match the patched loop bound")
+    ap.add_argument("--full", action="store_true",
+                    help="run the UNPATCHED 50-epoch loop (only $exe and "
+                         "$ROOT_DIR substituted); implies --epochs 50")
     ap.add_argument("--tpu", action="store_true",
                     help="run the epoch processes on the real TPU through "
                          "the axon relay (VERDICT r4 #6) instead of "
@@ -117,11 +126,14 @@ def main() -> int:
     args = ap.parse_args()
     global _TPU, _ART_SUFFIX
     _TPU = args.tpu
-    _ART_SUFFIX = "_tpu" if args.tpu else ""
+    if args.full:
+        args.epochs = 50
+    _ART_SUFFIX = ("_tpu" if args.tpu else "") + \
+        ("_full" if args.full else "")
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="finetune_pl_")
     os.makedirs(workdir, exist_ok=True)
-    script = patched_script()
+    script = patched_script(args.full)
     with open(os.path.join(workdir, "finetune.pl"), "w") as f:
         f.write(script)
 
@@ -174,7 +186,8 @@ def main() -> int:
     # The resume run re-prints iters 1..N; take the last args.epochs.
     lrs = lrs[-args.epochs:]
     assert all(abs(v - 0.1) < 1e-12 for v in lrs[:10]), lrs
-    assert abs(lrs[10] - 0.09) < 1e-12 and abs(lrs[11] - 0.081) < 1e-12, lrs
+    for k in range(10, args.epochs):
+        assert abs(lrs[k] - 0.1 * 0.9 ** (k - 9)) < 1e-9, (k, lrs[k])
 
     # Per-epoch CV from the shim's reference-format logs.  The epoch that
     # was mid-flight at the kill has its .wts (atomic write) but may have

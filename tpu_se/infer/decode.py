@@ -279,7 +279,15 @@ class Enhancer:
     utterance's frame axis is sharded across it (params replicated) and
     GSPMD inserts the splice-halo and OLA-boundary collectives, scaling
     batch decode across chips. Results are identical to single-device
-    decode (``tests/test_parallel.py``)."""
+    decode (``tests/test_parallel.py``).
+
+    Quality options: ``blend`` (suppression-depth limiter, fixed or
+    ``"auto"``) and ``smooth_strength`` (fractional SMOOTHPROCESS, fixed
+    or ``"auto"`` impulsiveness-gated; non-zero implies smoothing, 0 is
+    off, ``smooth=True`` alone is the reference's binary s=1).  The
+    combination ``blend="auto", smooth_strength="auto"`` improves SegSNR,
+    STOI, LSD and PESQ on all 14 Enh_demos conditions for every trained
+    ML arm x seed (PARITY.md §4)."""
 
     def __init__(self, wts_path, norm_path, context: int = 7,
                  compute_dtype=jnp.float32, postprocess: bool = False,
