@@ -252,3 +252,32 @@ def test_concat_renumbers_noncanonical_ids(tmp_path):
         pf.frame_ids, list(range(4)) + list(range(6)) + list(range(4))
         + list(range(6)))
     np.testing.assert_array_equal(pf.sentence(2), utts[0])
+
+
+def test_ordered_readahead_order_and_errors(tmp_path):
+    """ordered_readahead preserves input order, bounds look-ahead, and
+    propagates worker exceptions at the failing item's position."""
+    import time
+
+    from tpu_se.io.readahead import ordered_readahead
+
+    def slow_sq(x):
+        time.sleep(0.001 * (5 - x % 5))
+        return x * x
+
+    items = list(range(20))
+    assert list(ordered_readahead(items, slow_sq, jobs=4)) == \
+        [x * x for x in items]
+    assert list(ordered_readahead(items, slow_sq, jobs=1)) == \
+        [x * x for x in items]
+
+    def boom(x):
+        if x == 7:
+            raise RuntimeError("bad item")
+        return x
+
+    out = []
+    with pytest.raises(RuntimeError):
+        for v in ordered_readahead(items, boom, jobs=3):
+            out.append(v)
+    assert out == list(range(7))

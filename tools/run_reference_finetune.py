@@ -85,7 +85,9 @@ def run_perl(workdir: str, env: dict, log_path: str,
     """Run the script; if kill_after_wts is given, SIGKILL the whole
     process group as soon as that file exists (simulates a crash)."""
     if _TPU:
-        timeout = max(timeout, 5400.0)   # relay init per epoch process
+        # relay init per epoch process; the --full resume leg runs up to
+        # 46 epoch processes sequentially
+        timeout = max(timeout, 14400.0)
     with open(log_path, "a") as log:
         proc = subprocess.Popen(
             ["perl", "finetune.pl"], cwd=workdir, env=env,
