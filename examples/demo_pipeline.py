@@ -90,10 +90,9 @@ def main() -> int:
     # limiter) + smooth_strength="auto" (impulsiveness-gated fractional
     # smoothing) — the config that improves all four metrics on all 14
     # Enh_demos conditions for the fully-trained arms (PARITY.md §4).
-    # Essential for this demo's data-starved model (trained on the 10
-    # bundled sentences): the limiter reins the model in where its
-    # suppression is unconfident — measured here: STOI 0.738 -> 0.846,
-    # LSD 9.8 -> 6.4.
+    # Essential for this demo's data-starved model (trained on 13 demo
+    # utterances): the limiter reins the model in where its suppression
+    # is unconfident — measured here: STOI 0.738 -> 0.848, LSD 9.8 -> 6.5.
     out_dir = os.path.join(work, "enhanced")
     results = decode_files(final_wts, norm_file,
                            [n for n, _ in test_pairs], out_dir,

@@ -220,7 +220,8 @@ def main() -> int:
     summary = {
         "script": REF_SCRIPT,
         "platform": "tpu (axon relay, v5e)" if _TPU else "cpu",
-        "patched_lines": sorted(PATCHES),
+        "patched_lines": sorted(PATCHES_BASE if args.full else
+                                {**PATCHES_BASE, **PATCH_EPOCHS}),
         "epochs_run": args.epochs,
         "killed_after_epochs": len(done_before),
         "resume_verified_mtimes_unchanged": sorted(mtimes),
