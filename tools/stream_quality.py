@@ -39,9 +39,12 @@ def main() -> int:
     from tpu_se.infer.stoi import pesq_score, stoi
     from tpu_se.io import read_wav
 
+    seed_dir = ""
+    if "--seed-dir" in sys.argv:
+        seed_dir = sys.argv[sys.argv.index("--seed-dir") + 1]
     demo = os.path.join(REFERENCE, "Enh_demos")
     norm = os.path.join(ROOT, "data", "train_noisy.norm")
-    wts = os.path.join(ROOT, "MLGGD1", "mlp.50.wts")
+    wts = os.path.join(ROOT, seed_dir, "MLGGD1", "mlp.50.wts")
 
     conds = CONDS
     if "--all" in sys.argv:
@@ -99,9 +102,9 @@ def main() -> int:
                 for k in ("segsnr", "stoi", "lsd", "pesq"))
             for r in rows)
         print(f"streamed all-four-metrics pass: {n_pass}/{len(rows)}")
-    out = os.path.join(ROOT, "STREAM_QUALITY.json")
+    out = os.path.join(ROOT, f"STREAM_QUALITY{'_' + seed_dir if seed_dir else ''}.json")
     with open(out, "w") as f:
-        json.dump({"arm": "MLGGD1 seed0",
+        json.dump({"arm": f"MLGGD1 {seed_dir or 'seed0'}",
                    "decode": "blend auto + smooth_strength auto",
                    "rows": rows}, f, indent=1)
     print(f"-> {out}")
