@@ -87,8 +87,13 @@ DECODE_VARIANTS = {
     "+bl+sm": {"blend": 0.5, "smooth": True},
     # adaptive limiter: lam from the model's own per-utterance suppression
     # (BLEND_AUTO_* map in infer/decode.py, calibrated on the non-held-out
-    # conditions only) — the strongest measured decode config.
+    # conditions only).
     "+abl": {"blend": "auto"},
+    # round-5 quality config: adaptive limiter + impulsiveness-gated
+    # fractional smoothing — improves all four metrics on 14/14 demo
+    # conditions for both ML arms x 3 seeds (PARITY.md §4,
+    # ENH_TABLE_auto_smauto*.md).
+    "+abl+asm": {"blend": "auto", "smooth_strength": "auto"},
 }
 
 
