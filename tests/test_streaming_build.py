@@ -281,3 +281,26 @@ def test_ordered_readahead_order_and_errors(tmp_path):
         for v in ordered_readahead(items, boom, jobs=3):
             out.append(v)
     assert out == list(range(7))
+
+
+def test_concat_multiblock_byte_identical(tmp_path):
+    """Streaming concat across STREAM_BLOCK_FRAMES boundaries (sentences
+    straddling block edges) is byte-identical to decode-and-rewrite."""
+    from tpu_se.io.pfile import STREAM_BLOCK_FRAMES
+
+    rng = np.random.default_rng(8)
+    # ~21k frames in deliberately awkward sentence lengths so several
+    # sentences straddle the 16384-frame block edge.
+    lengths = [5000, 4999, 7001, 2500, 1500, 777]
+    assert sum(lengths) > STREAM_BLOCK_FRAMES
+    utts = [rng.normal(size=(t, 5)).astype(np.float32) for t in lengths]
+    src = tmp_path / "big.pfile"
+    write_pfile(src, utts)
+
+    concat_pfiles(tmp_path / "cat.pfile", [src, src])
+
+    pf = read_pfile(src)
+    both = [pf.sentence(i) for i in range(pf.num_sentences)] * 2
+    write_pfile(tmp_path / "mem.pfile", both)
+    assert (tmp_path / "cat.pfile").read_bytes() == \
+        (tmp_path / "mem.pfile").read_bytes()
