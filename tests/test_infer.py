@@ -475,3 +475,38 @@ def test_smooth_strength_fractional_and_auto(reference_dir, tmp_path):
     assert _smooth_auto_strength(
         np.asarray(wav_to_lps(stationary))) == pytest.approx(SM_AUTO_S)
     assert _smooth_auto_strength(np.asarray(wav_to_lps(bursts))) == 0.0
+
+
+def test_cli_decode_11khz(tmp_path):
+    """decode -fs 11 end-to-end: the 256/110 3-hop-OLA config through the
+    CLI (batch path), with a 129-bin model and the quality flags."""
+    import wave as wave_mod
+
+    import numpy as np
+
+    from tpu_se.io import read_wav, write_norm, write_wts
+    from tpu_se.models import init_params, params_to_wts
+
+    bins = 129
+    wts = str(tmp_path / "m.wts")
+    write_wts(wts, params_to_wts(init_params(3, (7 * bins, 16, 16, bins))))
+    norm = str(tmp_path / "m.norm")
+    rng = np.random.default_rng(0)
+    write_norm(norm, rng.normal(size=bins).astype(np.float32),
+               (0.5 + rng.random(bins)).astype(np.float32))
+
+    wav = tmp_path / "n.wav"
+    with wave_mod.open(str(wav), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(11025)
+        w.writeframes((rng.normal(size=11025) * 3000)
+                      .astype("<i2").tobytes())
+
+    r = _cli("decode", str(wav), "--wts", wts, "--norm", norm,
+             "-fs", "11", "--blend", "auto", "--smooth-strength", "auto",
+             "--out-dir", str(tmp_path / "out"))
+    assert r.returncode == 0, r.stderr
+    enh, sr = read_wav(tmp_path / "out" / "n_enhanced.wav")
+    assert sr == 11025
+    assert len(enh) > 10000 and np.isfinite(enh.astype(np.float64)).all()
