@@ -308,3 +308,32 @@ def test_fine_alignment_noop_for_delay_free_pairs():
     a = pesq(ref, deg, FS)
     b = pesq(ref, deg, FS, fine_align=False)
     assert abs(a - b) < 0.05, (a, b)
+
+
+def test_fine_alignment_low_confidence_keeps_crude_delay():
+    """An utterance the degraded signal nearly silences (or replaces with
+    uncorrelated noise) has a flat alignment correlation — the gate must
+    keep the crude delay rather than applying a noise-peak lag."""
+    from tpu_se.infer.pesq import _fine_align, _utterance_spans
+
+    fs = FS
+    rng = np.random.default_rng(21)
+    t = np.arange(int(0.9 * fs)) / fs
+    u = (np.sin(2 * np.pi * 300 * t)
+         * (0.25 + 0.75 * np.clip(np.sin(2 * np.pi * 2.5 * t), 0, None))
+         * 8000)
+    sil = np.zeros(int(0.35 * fs))
+    ref = np.concatenate([sil, u, sil, u, sil])
+    spans = _utterance_spans(ref, fs)
+    assert len(spans) == 2
+
+    deg = ref + rng.normal(size=len(ref)) * 200.0
+    s, e = spans[1]
+    deg[s:e] = rng.normal(size=e - s) * 30.0     # second utterance wiped
+
+    out = _fine_align(ref, deg, fs)
+    # gate held: the wiped utterance region is untouched (crude timing)
+    np.testing.assert_array_equal(out[s:e], deg[s:e])
+    # and the intact utterance was also left at lag 0 (already aligned)
+    s0, e0 = spans[0]
+    np.testing.assert_array_equal(out[s0:e0], deg[s0:e0])

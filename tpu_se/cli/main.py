@@ -105,8 +105,10 @@ def cmd_make_pfile(args) -> int:
             if desired is not None:
                 u = u[:desired[i]]
             w.add(u)
-        print(f"{w.num_sentences} sentences, {w.num_frames} frames "
-              f"-> {args.out}")
+        n_sents, n_frames = w.num_sentences, w.num_frames
+    # Report only after close() committed the file (atomic rename): a
+    # finalize failure must not leave a success line behind.
+    print(f"{n_sents} sentences, {n_frames} frames -> {args.out}")
     if args.lenfile:
         with open(args.lenfile, "w") as f:
             for t in lengths:

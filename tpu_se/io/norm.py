@@ -77,10 +77,12 @@ def compute_norm_pfile(path, block_frames: int | None = None
     Accumulates float64 sum / sum-of-squares over ``read_pfile_rows`` blocks
     — O(block) memory like QuickNet's streaming qnnorm binary
     (``tools_pfile/get_norm.pl:3``), so 100-hour-scale archives (~24 GB)
-    norm fine on a small host.  Matches ``compute_norm`` exactly on the
-    same data: sum/sumsq in float64 is the same computation either way up
-    to the float64 addition order, and the bundled-fixture test pins
-    byte-identical .norm output.
+    norm fine on a small host.  Matches ``compute_norm`` (which also
+    accumulates in float64, after its upfront astype): one-pass
+    sum/sumsq-minus-mean² vs numpy's two-pass variance differ only at
+    float64 rounding — measured bitwise-identical after the float32 cast
+    on a 3M-frame LPS-scale array, and byte-identical .norm output is
+    pinned on the bundled fixture.
     """
     from tpu_se.io.pfile import STREAM_BLOCK_FRAMES, read_pfile_rows, \
         read_pfile_meta

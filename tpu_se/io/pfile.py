@@ -252,12 +252,19 @@ class PfileWriter:
         if not self._ends:
             self.abort()
             raise ValueError("no utterances")
-        table = np.concatenate([[0], self._ends]).astype(">i4")
-        self._f.write(table.tobytes())
-        self._f.seek(0)
-        self._f.write(_pfile_header(len(self._ends), self._cum, self._dim))
-        self._f.flush()
-        os.fsync(self._f.fileno())
+        try:
+            table = np.concatenate([[0], self._ends]).astype(">i4")
+            self._f.write(table.tobytes())
+            self._f.seek(0)
+            self._f.write(_pfile_header(len(self._ends), self._cum,
+                                        self._dim))
+            self._f.flush()
+            os.fsync(self._f.fileno())
+        except BaseException:
+            # Finalize failure (header overflow, disk full): discard the
+            # tmp file — the final path must stay untouched.
+            self.abort()
+            raise
         self._f.close()
         self._f = None
         os.replace(self._tmp, self._path)
