@@ -332,3 +332,26 @@ def test_streaming_smooth_causal_analog(reference_dir, small_model):
     for bad in (-0.1, 1.5, "Auto"):
         with pytest.raises(ValueError):
             StreamingEnhancer(wts, norm, smooth_strength=bad)
+
+
+def test_streaming_smooth_short_utterance(reference_dir, small_model):
+    """Streaming smoothing on an utterance SHORTER than the noise-floor
+    window (NOISE_FRAME_NUM=10 frames): output stays finite, the length
+    contract matches the un-smoothed stream, and the gate state is sane."""
+    from tpu_se.infer import StreamingEnhancer
+
+    wts, norm = small_model
+    noisy, _ = read_wav(reference_dir / NOISY_DEMO)
+    short = noisy[: 256 * 7]                      # 6 frames
+
+    a = StreamingEnhancer(wts, norm, smooth_strength=0.5)
+    out_s = np.concatenate([a.feed(short), a.flush()])
+    b = StreamingEnhancer(wts, norm)
+    out_p = np.concatenate([b.feed(short), b.flush()])
+    assert out_s.shape == out_p.shape
+    assert np.isfinite(out_s.astype(np.float64)).all()
+
+    c = StreamingEnhancer(wts, norm, smooth_strength="auto")
+    out_a = np.concatenate([c.feed(short), c.flush()])
+    assert out_a.shape == out_p.shape
+    assert np.isfinite(np.asarray(c.state.dyn_ema)).all()
