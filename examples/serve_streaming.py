@@ -63,7 +63,7 @@ def main() -> int:
     multi = StreamingEnhancer(args.wts, args.norm, n_streams=n_streams,
                               sample_rate=sr, blend="auto",
                               smooth_strength="auto")
-    n_hops = min(40, len(noisy) // shift)
+    n_hops = min(40, len(noisy) // shift - (n_streams - 1))
     hops = np.stack([noisy[o: o + n_hops * shift]
                      for o in range(0, n_streams * shift, shift)])
     hops = hops.reshape(n_streams, n_hops, shift).astype(np.int16)

@@ -61,9 +61,7 @@ PATCH_EPOCHS = {
 }
 
 
-def patched_script(full: bool) -> str:
-    patches = dict(PATCHES_BASE) if full else {**PATCHES_BASE,
-                                               **PATCH_EPOCHS}
+def patched_script(patches: dict) -> str:
     with open(REF_SCRIPT) as f:
         lines = f.read().split("\n")
     n_patched = 0
@@ -84,10 +82,10 @@ def run_perl(workdir: str, env: dict, log_path: str,
              kill_after_wts: str | None = None, timeout: float = 1800.0):
     """Run the script; if kill_after_wts is given, SIGKILL the whole
     process group as soon as that file exists (simulates a crash)."""
-    if _TPU:
-        # relay init per epoch process; the --full resume leg runs up to
-        # 46 epoch processes sequentially
-        timeout = max(timeout, 14400.0)
+    # Scale with the epoch count on every platform: the resume leg runs
+    # up to epochs-4 sequential trainer processes in ONE perl process
+    # (plus per-process relay init in TPU mode).
+    timeout = max(timeout, 300.0 * _EPOCHS, 14400.0 if _TPU else 0.0)
     with open(log_path, "a") as log:
         proc = subprocess.Popen(
             ["perl", "finetune.pl"], cwd=workdir, env=env,
@@ -126,16 +124,19 @@ def main() -> int:
                          "the persistent jit cache makes compiles "
                          "one-time.")
     args = ap.parse_args()
-    global _TPU, _ART_SUFFIX
+    global _TPU, _ART_SUFFIX, _EPOCHS
     _TPU = args.tpu
     if args.full:
         args.epochs = 50
+    _EPOCHS = args.epochs
     _ART_SUFFIX = ("_tpu" if args.tpu else "") + \
         ("_full" if args.full else "")
+    patches = PATCHES_BASE if args.full else {**PATCHES_BASE,
+                                              **PATCH_EPOCHS}
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="finetune_pl_")
     os.makedirs(workdir, exist_ok=True)
-    script = patched_script(args.full)
+    script = patched_script(patches)
     with open(os.path.join(workdir, "finetune.pl"), "w") as f:
         f.write(script)
 
@@ -220,8 +221,7 @@ def main() -> int:
     summary = {
         "script": REF_SCRIPT,
         "platform": "tpu (axon relay, v5e)" if _TPU else "cpu",
-        "patched_lines": sorted(PATCHES_BASE if args.full else
-                                {**PATCHES_BASE, **PATCH_EPOCHS}),
+        "patched_lines": sorted(patches),
         "epochs_run": args.epochs,
         "killed_after_epochs": len(done_before),
         "resume_verified_mtimes_unchanged": sorted(mtimes),
@@ -241,6 +241,7 @@ def main() -> int:
 
 _TPU = False
 _ART_SUFFIX = ""
+_EPOCHS = 12
 
 
 def _env() -> dict:

@@ -33,6 +33,7 @@ def main() -> int:
     from tpu_se.dsp import wav_to_lps
     from tpu_se.infer.decode import (
         SM_AUTO_D0, SM_AUTO_D1, SM_AUTO_S, _smooth_auto_strength,
+        smooth_dyn_statistic,
     )
     from tpu_se.io import read_wav
 
@@ -44,8 +45,7 @@ def main() -> int:
         nw = glob.glob(os.path.join(demo, f"{cond}_NOISY_*.wav"))[0]
         noisy, _ = read_wav(nw)
         lps = np.asarray(wav_to_lps(noisy.astype(np.float32)))
-        frame_db = lps.mean(axis=1) * (10.0 / np.log(10.0))
-        dyn = float(np.abs(np.diff(frame_db)).mean())
+        dyn = smooth_dyn_statistic(lps)   # THE gate statistic, not a copy
         rows.append({"condition": cond, "held_out": cond in HELD_OUT,
                      "dyn_mean_abs_delta_db": round(dyn, 3),
                      "auto_strength": round(_smooth_auto_strength(lps), 3)})

@@ -39,15 +39,22 @@ def main() -> int:
     from tpu_se.infer.stoi import pesq_score, stoi
     from tpu_se.io import read_wav
 
-    seed_dir = ""
-    if "--seed-dir" in sys.argv:
-        seed_dir = sys.argv[sys.argv.index("--seed-dir") + 1]
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true",
+                    help="score all 14 conditions (default: the 3 "
+                         "held-out + MachineGun probes)")
+    ap.add_argument("--seed-dir", default="",
+                    help="e.g. s1000 to score that seed's models")
+    args = ap.parse_args()
+    seed_dir = args.seed_dir
     demo = os.path.join(REFERENCE, "Enh_demos")
     norm = os.path.join(ROOT, "data", "train_noisy.norm")
     wts = os.path.join(ROOT, seed_dir, "MLGGD1", "mlp.50.wts")
 
     conds = CONDS
-    if "--all" in sys.argv:
+    if args.all:
         conds = sorted({f.split("_NOISY_")[0] for f in os.listdir(demo)
                         if "_NOISY_" in f})
 
@@ -95,7 +102,7 @@ def main() -> int:
               f"pesq n/b/s={r['noisy']['pesq']}/{r['batch']['pesq']}/"
               f"{r['stream']['pesq']}", flush=True)
 
-    if "--all" in sys.argv:
+    if args.all:
         n_pass = sum(
             all((r["stream"][k] > r["noisy"][k]) if k != "lsd"
                 else (r["stream"][k] < r["noisy"][k])

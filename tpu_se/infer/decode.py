@@ -226,11 +226,16 @@ SM_AUTO_D0 = 2.0          # full strength at/below this dyn
 SM_AUTO_D1 = 3.0          # zero strength at/above
 
 
-def _smooth_auto_strength(noisy_lps: np.ndarray) -> float:
+def smooth_dyn_statistic(noisy_lps: np.ndarray) -> float:
+    """The gate statistic: mean |Δ mean-frame-dB| of the noisy LPS."""
     frame_db = noisy_lps.mean(axis=1) * (10.0 / np.log(10.0))
     if len(frame_db) < 2:
-        return 0.0
-    dyn = float(np.abs(np.diff(frame_db)).mean())
+        return float(SM_AUTO_D1)      # too short to judge -> smoothing off
+    return float(np.abs(np.diff(frame_db)).mean())
+
+
+def _smooth_auto_strength(noisy_lps: np.ndarray) -> float:
+    dyn = smooth_dyn_statistic(noisy_lps)
     return SM_AUTO_S * float(np.clip((SM_AUTO_D1 - dyn)
                                      / (SM_AUTO_D1 - SM_AUTO_D0), 0.0, 1.0))
 

@@ -236,11 +236,17 @@ class PfileWriter:
 
     def abort(self) -> None:
         """Discard the build: close and remove the tmp file; the final
-        path is left exactly as it was."""
+        path is left exactly as it was.  Best-effort on every step — the
+        close() may itself re-raise the original I/O error (disk full
+        re-flushes buffered data), and the unlink and state reset must
+        still happen."""
         if self._f is None:
             return
-        self._f.close()
-        self._f = None
+        f, self._f = self._f, None
+        try:
+            f.close()
+        except OSError:
+            pass
         try:
             os.unlink(self._tmp)
         except OSError:
